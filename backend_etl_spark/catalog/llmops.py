@@ -1,0 +1,398 @@
+"""LLM-data-pipeline operator catalog: text analysis, dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard), similarity search, multimodal
+plumbing — over the `documents` and `embeddings` tables.
+
+These are the training-data-pipeline operators the reference only
+sketched (its 0-byte preprocessors/clean.py and inference/sentiment.py),
+built here as first-class scale-out operators. All hash functions are
+md5-derived so the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_etl_spark.catalog.registry import register
+from backend_etl_spark.operators import dedup, similarity, textops
+from backend_etl_spark.operators.multimodal import binary_meta
+from backend_etl_spark.session import tune
+from backend_etl_spark.sources.loader import load_table
+
+# shared SQL fragments -------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_NORM_TOKS = rf"string_split_regex(trim({_NORM}), '\s+')"
+
+_SHINGLES_CTE = rf"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(range(len(t) - 2),
+                                             i -> array_to_string(t[i+1:i+3], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM toks)
+"""
+
+_SIGS_CTE = rf"""
+    {_SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id,
+             min(md5('0#' || shingle)) AS mh0,
+             min(md5('1#' || shingle)) AS mh1,
+             min(md5('2#' || shingle)) AS mh2,
+             min(md5('3#' || shingle)) AS mh3
+      FROM sh GROUP BY doc_id)
+"""
+
+_BANDS_CTE = f"""
+    {_SIGS_CTE},
+    bands AS (
+      SELECT doc_id, '0' AS band_id, mh0 AS band_value FROM sigs UNION ALL
+      SELECT doc_id, '1', mh1 FROM sigs UNION ALL
+      SELECT doc_id, '2', mh2 FROM sigs UNION ALL
+      SELECT doc_id, '3', mh3 FROM sigs),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_value = b.band_value
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)          AS n_chars,
+           CAST(len(t) AS BIGINT)           AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           round(list_sum(list_transform(t, s -> CAST(length(s) AS DOUBLE))) / len(t), 4)
+             AS avg_token_len
+    FROM toks
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics per document — map-only, UDF-free."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        "avg_token_len",
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(len(list_filter(toks, s -> s IN
+               ('the','a','and','of','to','in','is','on','for','with'))) / len(toks), 4)
+               AS stopword_ratio,
+             round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio, distinct_ratio,
+           CASE WHEN n_tokens >= 20 AND stopword_ratio >= 0.05 AND distinct_ratio >= 0.5
+                  THEN 'high'
+                WHEN n_tokens >= 10 AND distinct_ratio >= 0.3 THEN 'medium'
+                ELSE 'low' END AS quality_class
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality heuristics + coarse class."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality_class",
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, s -> s IN ('the','and','of','to','a'))) AS BIGINT)   AS hits_en,
+             CAST(len(list_filter(toks, s -> s IN ('el','la','de','que','y'))) AS BIGINT)    AS hits_es,
+             CAST(len(list_filter(toks, s -> s IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+             CAST(len(list_filter(toks, s -> s IN ('le','la','et','les','des'))) AS BIGINT)  AS hits_fr
+      FROM t)
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                ELSE 'fr' END AS lang_guess
+    FROM h
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-family language guess (deterministic argmax)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.lang_id(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("bigint").alias(f"hits_{lang}")
+          for lang in ("en", "es", "de", "fr")],
+        "lang_guess",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT doc_id,
+           md5(norm) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(norm), '\\s+'))), ' ')) AS token_bag_md5
+    FROM n
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + order-insensitive token-bag fingerprints (md5-based,
+    engine-portable)."""
+    tune(spark)
+    return textops.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents)
+    SELECT content_md5,
+           min(doc_id) AS keep_id,
+           count(*)    AS dup_count
+    FROM n GROUP BY content_md5
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one representative per normalized-text hash."""
+    tune(spark)
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SIGS_CTE}
+    SELECT doc_id, mh0, mh1, mh2, mh3 FROM sigs
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-token shingles (4 md5 hash families)."""
+    tune(spark)
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "mh0", "mh1", "mh2", "mh3")
+
+
+@register(
+    "dedup_lsh_candidates",
+    oracle=f"""
+    WITH {_BANDS_CTE}
+    SELECT doc_a, doc_b, shared_bands FROM cand
+    """,
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: near-dup candidate pairs = docs sharing ≥1 MinHash
+    band. The only pairwise step, bounded by bucket size."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    return dedup.lsh_candidate_pairs(sigs, "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for LSH candidate pairs only."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+    bits AS (
+      SELECT doc_id, tok, unnest(range(16)) AS bit_pos FROM tok),
+    contrib AS (
+      SELECT doc_id, bit_pos,
+             sum((ascii(substr(md5(tok || '#' || bit_pos), 1, 1)) % 2) * 2 - 1) AS v
+      FROM bits GROUP BY doc_id, bit_pos)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << bit_pos) ELSE 0 END) AS BIGINT)
+             AS simhash16
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (majority vote of md5-derived bits)."""
+    tune(spark)
+    return dedup.simhash16(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_CTE = """
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+"""
+
+
+@register(
+    "knn_brute_force_cosine",
+    oracle=f"""
+    WITH {_COS_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+               AS cosine_sim
+      FROM q, e WHERE e.vec_id != query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a small query set: broadcast queries, one
+    map-only pass over the corpus, per-query top-k window."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "knn_ivf_label_pruned",
+    oracle=f"""
+    WITH {_COS_CTE},
+    q AS (SELECT vec_id AS query_id, label AS cluster, v AS qv FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+               AS cosine_sim
+      FROM q JOIN e ON e.label = q.cluster AND e.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def knn_ivf_label_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: candidates pruned to the query's cluster (label as
+    the coarse-quantizer assignment) — the linear-cost scale path."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    WITH {_COS_CTE}
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT)                  AS dims,
+           CAST(label AS BIGINT)                   AS label,
+           round(sqrt(list_dot_product(v, v)), 6)  AS l2_norm
+    FROM e
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene scan: dimension + L2 norm per embedding."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = similarity.to_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dims"),
+        F.col("label").cast("bigint").alias("label"),
+        F.round(similarity.l2_norm(v), 6).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)      AS n_bytes,
+           md5(text)                                       AS content_md5,
+           CAST(octet_length(encode(text)) % 64 AS BIGINT) AS fake_width,
+           CAST(octet_length(encode(text)) % 48 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction through the Arrow-batched
+    mapInPandas decode path (decode itself stubbed — schema, batching,
+    and partitioning are the real thing)."""
+    tune(spark)
+    return binary_meta(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,856 @@
+"""Relational operator catalog: scans, joins, aggregations, windows,
+set ops, top-k, incremental/watermark semantics — the generalized Spark
+surface for the reference's operator inventory (SURVEY §2), exercised
+over the synthetic star schema.
+
+Each query is a declarative DataFrame plan (Catalyst handles pushdown,
+pruning, join selection); small dimensions are broadcast explicitly
+where the reference's design implies it (the `users` control-dim
+pattern, SURVEY §2.7 J1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from backend_etl_spark.catalog.registry import register
+from backend_etl_spark.functions.scalars import (
+    parse_ctime_utc,
+    parse_long_date,
+    parse_purchase_date,
+    rating_from_alt,
+)
+from backend_etl_spark.operators.asof import asof_join
+from backend_etl_spark.session import tune
+from backend_etl_spark.sources.loader import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# aggregation over a pruned scan (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                            AS sum_qty,
+           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           round(avg(l_quantity), 4)                                            AS avg_qty,
+           round(avg(l_extendedprice), 4)                                       AS avg_price,
+           round(avg(l_discount), 4)                                            AS avg_disc,
+           count(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scan → hash aggregate. Filter and the 7-column projection
+    both push into the parquet scan; partial aggregation is map-side."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: broadcast-dim join → agg → deterministic top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's 'per company, recent-mention volume'
+    question over the star schema — pruned scans, broadcast customer dim
+    (the `users` role), two joins, aggregate, deterministic top-10."""
+    tune(spark)
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join with broadcast dims + local-supplier equality
+    (c_nationkey = s_nationkey). Only lineitem ⋈ orders shuffles; every
+    dimension side broadcasts."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_region_revenue",
+    oracle="""
+    SELECT r_name,
+           count(*)                      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total_revenue
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-stamping join chain (J1): facts stamped with region via
+    broadcast snowflake dims, then aggregated."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti / outer joins (K-sink dedup + dispatch-guard parity, J2/P10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the engine's ON CONFLICT DO NOTHING building
+    block (SURVEY §2.7 J2): keys in the batch that do NOT exist in the sink."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_semi_customers_with_f_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi_customers_with_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — existence predicate without multiplying rows."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_outer_customer_order_stats",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                            AS n_orders,
+           coalesce(round(sum(o_totalprice), 2), 0.0)   AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers, with NULL→0
+    defaulting (the reference's F12 `or 0` idiom)."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation breadth: multi-key, distinct, rollup/cube/grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                      AS n_orders,
+           round(sum(o_totalprice), 2)   AS sum_price,
+           min(o_totalprice)             AS min_price,
+           max(o_totalprice)             AS max_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_customers_per_status",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with an explicit grouping-bit id so subtotal rows are
+    unambiguous across engines."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag").cast("bigint") * 2
+             + F.grouping("l_linestatus").cast("bigint")).alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus").cast("bigint") * 2
+             + F.grouping("o_orderpriority").cast("bigint")).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*)                       AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — same SQL text runs on Spark SQL and the oracle."""
+    tune(spark)
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register("agg_approx_count_distinct")  # engine-specific sketch → rows-only check
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate. Sketches differ across engines,
+    so this entry has no value-hash oracle (driver records a rows-only
+    check); accuracy vs exact distinct is asserted in tests/."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable 'top orders per
+    tenant' pattern (no global sort; one shuffle on the partition key)."""
+    tune(spark)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_revenue
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer with an explicit ROWS frame and a
+    deterministic secondary sort key."""
+    tune(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+@register(
+    "window_lag_value_delta",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT event_id, user_id, ts, value,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 2) AS value_delta
+    FROM ev
+    """,
+)
+def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over the event stream — per-entity deltas (NULL on first)."""
+    tune(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+    )
+
+
+@register(
+    "window_sessionize_events",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    the batch equivalent of a session window; integer-microsecond gap
+    math so both engines agree exactly."""
+    tune(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).cast("bigint").alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops, top-k, union-dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_intersect_f_and_o_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_f_and_o_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@register(
+    "setop_except_no_f_orders",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_no_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_custkey").subtract(
+        orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "union_dedup_two_feeds",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+    UNION
+    SELECT event_id, user_id, event_type FROM events WHERE value > 150.0
+    """,
+)
+def union_dedup_two_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two-query union (Reddit url:/bare search, SURVEY
+    §2.8 U1): overlapping feeds unioned then deduplicated."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "event_type")
+    b = ev.where(F.col("value") > 150.0).select("event_id", "user_id", "event_type")
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# semi-structured + scalar-function parity (N6, F1-F13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                       AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)  AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON props (the reference's transient nested JSON,
+    SURVEY §2.4 N6) parsed and aggregated."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@register(
+    "ts_parse_formats",
+    oracle="""
+    WITH base AS (SELECT event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2,
+                         CAST(ts AS TIMESTAMP) AS ts
+                  FROM events)
+    SELECT event_id,
+           strptime(substr(strftime(ts2, '%a %b %d %H:%M:%S %Y'), 5),
+                    '%b %d %H:%M:%S %Y')                                  AS parsed_ctime,
+           make_timestamp(epoch_us(ts2))                                  AS parsed_epoch_s,
+           epoch_ms(epoch_ms(ts2))                                        AS parsed_epoch_ms,
+           CAST(strptime(strftime(ts, '%d %B %Y'), '%d %B %Y') AS DATE)   AS parsed_long_date,
+           CAST(strptime(regexp_replace('Date of purchase: ' || strftime(ts, '%d/%m/%Y'),
+                                        '^Date of purchase: ', ''),
+                         '%d/%m/%Y') AS DATE)                             AS parsed_purchase_date
+    FROM base
+    """,
+)
+def ts_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's four timestamp encodings (F1-F5) round-tripped:
+    format each event ts into the source encoding, then parse back with
+    the engine's scalar layer. Each engine formats AND parses with its
+    own functions — matching outputs prove parser parity."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ts2 = F.date_trunc("second", F.col("ts"))
+    ctime_str = F.date_format(ts2, "EEE MMM dd HH:mm:ss yyyy")
+    purchase_str = F.concat(F.lit("Date of purchase: "), F.date_format("ts", "dd/MM/yyyy"))
+    return ev.select(
+        "event_id",
+        parse_ctime_utc(ctime_str).alias("parsed_ctime"),
+        F.timestamp_seconds(F.unix_timestamp(ts2)).alias("parsed_epoch_s"),
+        F.timestamp_millis(F.unix_millis(ts2)).alias("parsed_epoch_ms"),
+        parse_long_date(F.date_format("ts", "dd MMMM yyyy")).alias("parsed_long_date"),
+        parse_purchase_date(purchase_str).alias("parsed_purchase_date"),
+    )
+
+
+@register(
+    "scalar_function_showcase",
+    oracle="""
+    SELECT event_id,
+           CAST(string_split('Rated ' || CAST(event_id % 5 + 1 AS VARCHAR)
+                             || ' out of 5 stars', ' ')[2] AS INT)        AS rating,
+           coalesce(nullif(event_type, 'error'), 'unknown')               AS kind,
+           concat_ws('-', 'u', CAST(user_id AS VARCHAR))                  AS user_tag,
+           trim('  ' || event_type || ' ')                                AS trimmed
+    FROM events
+    """,
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar surface parity: star-rating alt-text parse (F8), NULL
+    defaulting via nullif/coalesce (F12/P2), concat_ws (F10), trim (F9)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    alt = F.concat(
+        F.lit("Rated "), (F.col("event_id") % 5 + 1).cast("string"), F.lit(" out of 5 stars")
+    )
+    return ev.select(
+        "event_id",
+        rating_from_alt(alt).alias("rating"),
+        F.coalesce(F.expr("nullif(event_type, 'error')"), F.lit("unknown")).alias("kind"),
+        F.concat_ws("-", F.lit("u"), F.col("user_id").cast("string")).alias("user_tag"),
+        F.trim(F.concat(F.lit("  "), F.col("event_type"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of / range joins over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                FROM events)
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts    AS asof_ts,
+           c.value AS asof_value
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the most recent prior click by
+    the same user. Implemented with the union+last(ignorenulls) trick
+    (operators/asof.py) — one shuffle, no pair explosion."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], prefix="asof_",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events)
+    SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks_5m
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >  p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (equality on user + time band) — hash join on
+    the equi-key with the band as a post-filter, then aggregate."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("event_id"), F.col("p_user").alias("user_id")
+    ).agg(F.count("c_ts").alias("n_clicks_5m"))
+
+
+# ---------------------------------------------------------------------------
+# incremental / watermark semantics (SURVEY §2.10 W1-W3, §2.1 S11-S12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_watermark_scan",
+    oracle="""
+    WITH wm AS (
+      SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS watermark
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT c_custkey AS tenant_id, watermark,
+           CASE WHEN watermark IS NULL THEN 'catchup' ELSE 'general' END AS mode
+    FROM customer LEFT JOIN wm ON c_custkey = user_id
+    WHERE c_custkey < 200
+      AND (watermark IS NULL OR watermark < TIMESTAMP '2024-01-24 00:00:00')
+    """,
+)
+def incremental_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The control-plane scan pair (S11 stale + S12 never-fetched) as one
+    query: tenants with NULL watermark → catchup, stale watermark →
+    general. Broadcast watermark aggregate onto the tenant dim."""
+    tune(spark)
+    snapshot = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    stale_cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    wm = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") < snapshot)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("watermark"))
+    )
+    tenants = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    return (
+        tenants.join(F.broadcast(wm), tenants.c_custkey == wm.user_id, "left")
+        .where(F.col("watermark").isNull() | (F.col("watermark") < stale_cutoff))
+        .select(
+            F.col("c_custkey").alias("tenant_id"),
+            "watermark",
+            F.when(F.col("watermark").isNull(), "catchup")
+            .otherwise("general")
+            .alias("mode"),
+        )
+    )
+
+
+@register(
+    "ingest_dedup_anti_join",
+    oracle="""
+    SELECT event_type, count(*) AS n_new
+    FROM events b
+    WHERE CAST(b.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      AND CAST(b.ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'
+      AND NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.event_id = b.event_id AND e.event_id % 3 = 0)
+    GROUP BY event_type
+    """,
+)
+def ingest_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT DO NOTHING as a plan (J2/K*): a windowed batch
+    anti-joined against already-ingested keys, then counted per type."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.where(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    )
+    existing = ev.where(F.col("event_id") % 3 == 0).select("event_id")
+    return (
+        batch.join(existing, "event_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two strategies:
+- ``brute_force_topk``: exact cosine top-k of a small query set against
+  the full corpus. The query side is broadcast (it is small by
+  construction), so the big side streams through a map-only stage — no
+  shuffle of the corpus — followed by a per-query top-k window on k·|Q|
+  rows. This is the correctness baseline and is also the right plan
+  whenever |Q| is small, even at 100 TB corpus scale.
+- ``ivf_topk``: cluster-pruned (IVF-style) variant — candidates are
+  restricted to the query's own partition (here: the ``label`` column as
+  the cluster assignment; in production the assignment comes from a
+  coarse quantizer). The candidate join becomes an equi-join on the
+  cluster id: shuffle-partitioned, prunable, and linear in bucket size.
+
+Vector math is pure Catalyst (`zip_with` + `aggregate` fold in DOUBLE),
+so it stays in the JVM and matches the DuckDB oracle bit-for-bit modulo
+summation order — results are rounded to 6 dp to absorb that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def to_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in DOUBLE (left-to-right, like the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query over the whole corpus.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), self-matches
+    excluded, deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Cluster-pruned approximate top-k: only candidates in the query's
+    own cluster are scored. Equi-join on the cluster id — shuffles on a
+    bounded key instead of broadcasting, which is the scale path when the
+    query set itself is large."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cluster_col).alias("cluster"),
+        to_double(vec_col).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
+        to_double(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.join(q, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,112 @@
+"""Text analysis operators: stats, quality scoring, language-ID heuristic,
+fingerprinting — the reference's planned-but-empty preprocessing stage
+(preprocessors/clean.py, inference/sentiment.py: 0 bytes, intent only)
+realized as Catalyst column expressions over the ``documents`` table.
+
+Everything here is UDF-free: regexp/split/aggregate expressions that
+whole-stage-codegen, scan-prunable, and reproducible in the DuckDB
+oracle. At 100 TB these are map-only stages — no shuffle at all until a
+groupBy is applied downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from backend_etl_spark.functions.scalars import normalize_text, tokens
+
+#: tiny per-language stopword families for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """# tokens that are in `words` — aggregate over the token array."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, distinct-token ratio,
+    length band — combined into a coarse class. Mirrors common pretraining
+    quality filters (length/stopword/repetition heuristics)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_ratio = F.round(stopword_hits(toks, EN_STOPWORDS) / n_tok, 4)
+    distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n_tok, 4)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.when((n_tok >= 20) & (stop_ratio >= 0.05) & (distinct_ratio >= 0.5), "high")
+        .when((n_tok >= 10) & (distinct_ratio >= 0.3), "medium")
+        .otherwise("low")
+        .alias("quality_class"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-family language guess: argmax of marker hits, ties → 'en'.
+
+    Deterministic argmax via greatest + ordered CASE. (The synthetic
+    corpus is English-vocabulary regardless of its `lang` tag; the
+    operator's contract is the heuristic itself.)
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    hits = {lang: stopword_hits(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["de"] == best, "de")
+        .otherwise("fr")
+    )
+    out = df.select(
+        F.col(id_col),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+        guess.alias("lang_guess"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of normalized text + md5 of the sorted
+    distinct-token set (order-insensitive 'bag' fingerprint)."""
+    norm = normalize_text(F.col(text_col))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(norm))))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        F.md5(bag).alias("token_bag_md5"),
+    )

@@ -1,0 +1,98 @@
+"""Idempotent dedup-append sink + watermark state.
+
+Reproduces the reference's sink semantics Spark-first:
+- ``ON CONFLICT (<natural key>) DO NOTHING`` (utils/db_helpers.py:92-301)
+  becomes: dropDuplicates on the key within the batch, then a left-anti
+  join against the sink's existing keys, then an append — the canonical
+  Structured Streaming idempotent-sink recipe. NULLs in composite keys
+  compare as equal (dropDuplicates semantics), documented choice per
+  SURVEY §7.3.
+- the per-(tenant, platform) watermark columns on ``users``
+  (utils/db_helpers.py:78-90) become a small ``watermarks`` state table,
+  advanced only when a batch lands ≥1 row (tasks.py:198-199 guards
+  ``if count:``).
+
+Scale notes: the anti-join reads only the key columns of the sink
+(column-pruned parquet scan). At 100 TB the sink would be partitioned by
+ingest date so the anti-join prunes to recent partitions; with an ACID
+table format this collapses into MERGE. The state table is tiny
+(|tenants| × |platforms|) and rewritten atomically via write-new+swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _sink_exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def write_idempotent(df: DataFrame, path: str, key_cols: list[str]) -> int:
+    """Append `df` to parquet at `path`, skipping rows whose natural key
+    already exists (effectively-once under at-least-once redelivery).
+    Returns the number of rows appended."""
+    spark = df.sparkSession
+    batch = df.dropDuplicates(key_cols)
+    if _sink_exists(path):
+        existing = spark.read.parquet(path).select(*key_cols).distinct()
+        batch = batch.join(existing, key_cols, "left_anti")
+    # one pass: count + write (cache to avoid recomputing the anti-join)
+    batch = batch.persist()
+    try:
+        n = batch.count()
+        if n:
+            batch.write.mode("append").parquet(path)
+    finally:
+        batch.unpersist()
+    return n
+
+
+class WatermarkStore:
+    """Tiny (tenant, platform) → max-ts state table on parquet.
+
+    Mirrors the reference's ``last_fetched_<platform>`` columns; NULL /
+    missing row = "never fetched" (the catchup trigger,
+    utils/db_helpers.py:49-61)."""
+
+    SCHEMA = "tenant_id BIGINT, platform STRING, watermark TIMESTAMP"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if _sink_exists(self.path):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], self.SCHEMA)
+
+    def get(self, tenant_id: int, platform: str):
+        rows = (
+            self.read()
+            .where((F.col("tenant_id") == tenant_id) & (F.col("platform") == platform))
+            .collect()
+        )
+        return rows[0]["watermark"] if rows else None
+
+    def advance(self, updates: DataFrame) -> None:
+        """Merge (tenant_id, platform, watermark) updates, keeping the max
+        watermark per key. Atomic-ish: write to a fresh dir, then swap."""
+        merged = (
+            self.read()
+            .unionByName(updates.select("tenant_id", "platform", "watermark"))
+            .groupBy("tenant_id", "platform")
+            .agg(F.max("watermark").alias("watermark"))
+        )
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop write (full plan execution,
+no driver collect bottleneck). First query includes JVM/codegen warmup;
+a warmup pass of the flagship runs first so steady-state numbers
+dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from backend_etl_spark.catalog import REGISTRY  # noqa: E402
+from backend_etl_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_region_revenue",
+    "join_outer_customer_order_stats",
+    "agg_rollup_lineitem",
+    "window_top3_orders_per_customer",
+    "window_running_revenue",
+    "window_sessionize_events",
+    "topk_orders_by_price",
+    "asof_purchase_last_click",
+    "range_join_clicks_before_purchase",
+    "events_json_props",
+    "text_stats",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_simhash",
+    "knn_brute_force_cosine",
+    "multimodal_binary_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("backend-etl-spark-bench")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    run("q3_shipping_priority")  # warmup: JVM + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = run(name)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

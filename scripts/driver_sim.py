@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Simulate the driver's verify loop end-to-end through the public
+contract (__spark_entry__): entry() smoke, then every queries() entry
+vs its oracle_sql() on DuckDB at the given sf, with a VANILLA
+SparkSession (no engine tuning) — exactly how the driver calls us.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as contract
+from tests.oracle_utils import normalized_rows
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# vanilla session: the driver does NOT apply our tuned confs
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+df = contract.entry(spark)
+rows = df.collect()
+assert len(rows) > 0, "entry() returned 0 rows"
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+qs = contract.queries()
+oracles = contract.oracle_sql()
+ok = bad = rows_only = 0
+for name, fn in qs.items():
+    sdf = fn(spark, SF_DIR)
+    if name not in oracles:
+        n = sdf.count()
+        print(f"  ~ {name}: rows-only, {n} rows")
+        rows_only += 1
+        continue
+    act_cols, act = list(sdf.columns), [tuple(r) for r in sdf.collect()]
+    rel = con.sql(oracles[name])
+    exp_cols, exp = list(rel.columns), rel.fetchall()
+    schema_ok = sorted(act_cols) == sorted(exp_cols)
+    count_ok = len(act) == len(exp)
+    vals_ok = normalized_rows(act_cols, act) == normalized_rows(exp_cols, exp)
+    if schema_ok and count_ok and vals_ok:
+        ok += 1
+        print(f"  + {name}: MATCH ({len(act)} rows)")
+    else:
+        bad += 1
+        print(f"  ! {name}: MISMATCH schema={schema_ok} count={count_ok} "
+              f"({len(act)} vs {len(exp)}) values={vals_ok}")
+print(f"\n{ok} match, {bad} mismatch, {rows_only} rows-only of {len(qs)}")
+sys.exit(1 if bad else 0)

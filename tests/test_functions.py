@@ -1,0 +1,95 @@
+"""Golden tests for the scalar parsing layer (SURVEY §2.5 F1-F8) on
+literal fixtures — the four timestamp encodings, the two date formats,
+rating parse, normalization. Mirrors FIXTURES.md §A3 raw payload shapes."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from backend_etl_spark.functions.scalars import (
+    epoch_millis_ts,
+    epoch_seconds_ts,
+    normalize_text,
+    parse_ctime_utc,
+    parse_long_date,
+    parse_purchase_date,
+    rating_from_alt,
+)
+from backend_etl_spark.operators.asof import asof_join
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_parse_long_date(spark):
+    assert one(spark, parse_long_date(F.lit("23 January 2025"))) == dt.date(2025, 1, 23)
+    assert one(spark, parse_long_date(F.lit("not a date"))) is None  # F1 null-on-fail
+
+
+def test_parse_purchase_date(spark):
+    got = one(spark, parse_purchase_date(F.lit("Date of purchase: 05/03/2025")))
+    assert got == dt.date(2025, 3, 5)
+    # bare form (no prefix) also parses
+    assert one(spark, parse_purchase_date(F.lit("05/03/2025"))) == dt.date(2025, 3, 5)
+
+
+def test_parse_ctime(spark):
+    got = one(spark, parse_ctime_utc(F.lit("Mon Nov 13 22:13:20 2023")))
+    assert got == dt.datetime(2023, 11, 13, 22, 13, 20)
+
+
+def test_epoch_conversions(spark):
+    assert one(spark, epoch_seconds_ts(F.lit(1700000000))) == dt.datetime(
+        2023, 11, 14, 22, 13, 20
+    )
+    assert one(spark, epoch_millis_ts(F.lit(1700000000500))) == dt.datetime(
+        2023, 11, 14, 22, 13, 20, 500000
+    )
+
+
+def test_rating_from_alt(spark):
+    assert one(spark, rating_from_alt(F.lit("Rated 4 out of 5 stars"))) == 4
+
+
+def test_normalize_text(spark):
+    assert one(spark, normalize_text(F.lit("  Hello   WORLD \t x "))) == "hello world x"
+
+
+def test_asof_join_literal(spark):
+    quotes = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (2, 15, 5.0)], "k INT, t INT, px DOUBLE"
+    )
+    trades = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (2, 14), (3, 99)], "k INT, t INT"
+    )
+    out = {
+        (r["k"], r["t"]): (r["asof_t"], r["asof_px"])
+        for r in asof_join(
+            trades, quotes, on="k", left_ts="t", right_ts="t", value_cols=["px"]
+        ).collect()
+    }
+    assert out[(1, 5)] == (None, None)      # no quote yet
+    assert out[(1, 10)] == (10, 1.0)        # equal ts matches (<=)
+    assert out[(1, 25)] == (20, 2.0)        # latest prior
+    assert out[(2, 14)] == (None, None)
+    assert out[(3, 99)] == (None, None)     # key with no right rows
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    from backend_etl_spark.catalog import REGISTRY
+    from backend_etl_spark.sources.loader import load_table
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(2, 0.05 * v)

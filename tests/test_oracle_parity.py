@@ -1,0 +1,28 @@
+"""Differential test: every SQL-expressible catalog query vs its DuckDB
+oracle at sf0.001 — the local mirror of the driver's CORRECTNESS gate."""
+
+import pytest
+
+from backend_etl_spark.catalog import REGISTRY
+from tests.oracle_utils import compare, duck_connection
+
+ORACLE_QUERIES = [name for name, spec in REGISTRY.items() if spec.oracle]
+ROWS_ONLY_QUERIES = [name for name, spec in REGISTRY.items() if not spec.oracle]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_connection(sf_dir)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, con, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    compare(df, con, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0
