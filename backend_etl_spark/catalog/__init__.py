@@ -1,6 +1,11 @@
 """Catalog assembly: importing the query modules populates REGISTRY."""
 
-from backend_etl_spark.catalog import llmops, relational  # noqa: F401  (register side effects)
+from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
+    llmops,
+    nested,
+    relational,
+    relational2,
+)
 from backend_etl_spark.catalog.registry import REGISTRY, QuerySpec
 
 

@@ -1,0 +1,325 @@
+"""Relational breadth, part 2: subqueries, statistical aggregates,
+window-function family, pivot, string functions, time bucketing.
+
+Subquery entries run the SAME SQL text through Spark SQL and the DuckDB
+oracle — Catalyst still plans them (scalar subqueries become joins,
+EXISTS becomes semi-joins), so this is a real test of the engine's
+subquery rewrite surface, not a bypass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from backend_etl_spark.catalog.registry import register
+from backend_etl_spark.session import tune
+from backend_etl_spark.sources.loader import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# subqueries (shared SQL text: Spark SQL == oracle SQL)
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUBQ = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@register("subquery_scalar_above_avg", oracle=_SCALAR_SUBQ)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery → Catalyst rewrites to a broadcast
+    cross of the 1-row aggregate."""
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SCALAR_SUBQ)
+
+
+_IN_SUBQ = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+@register("subquery_in_recent_buyers", oracle=_IN_SUBQ)
+def subquery_in_recent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join after rewrite."""
+    tune(spark)
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_IN_SUBQ)
+
+
+_EXISTS_SUBQ = """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND l.l_quantity >= 49
+                    AND l.l_shipdate > TIMESTAMP '2001-09-01 00:00:00')
+"""
+
+
+@register("subquery_exists_active_suppliers", oracle=_EXISTS_SUBQ)
+def subquery_exists_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → semi-join with the correlation as join key."""
+    tune(spark)
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(_EXISTS_SUBQ)
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stats_dispersion",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 4)              AS avg_price,
+           round(stddev_samp(l_extendedprice), 4)      AS stddev_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           count(*)                                    AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/covar/corr) — single-pass,
+    map-side partials at scale."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_median_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation between order statistics)."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window-function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6)     AS prnk,
+           round(cume_dist()    OVER w, 6)     AS cdist,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist / ntile with a fully
+    deterministic ordering."""
+    tune(spark)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit full-partition frame (the
+    default frame would silently truncate last_value)."""
+    tune(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via the DataFrame pivot API (explicit value list → no extra
+    distinct-scan job); oracle expresses it as conditional aggregation."""
+    tune(spark)
+    out = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# string-function breadth (F9-F12 generalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions_showcase",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment)                          AS seg_upper,
+           substring(c_name, 1, 8)                      AS name_prefix,
+           CAST(length(c_name) AS BIGINT)               AS name_len,
+           replace(c_name, 'Customer#', 'C-')           AS short_name,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0')    AS padded_key,
+           reverse(c_mktsegment)                        AS seg_rev,
+           CAST(strpos(c_name, '#') AS BIGINT)          AS hash_pos,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key
+    FROM customer
+    """,
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time bucketing (streaming-window batch equivalents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_bucket_hourly_events",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows as date_trunc — the batch equivalent of a
+    streaming windowed aggregation (and the shape a rollup/hypertable
+    materializes)."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "orders_monthly_volume",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_monthly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-bucket aggregation — at 100 TB this is the partition-pruned
+    scan pattern (orders partitioned by month → scan touches only the
+    requested buckets)."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
