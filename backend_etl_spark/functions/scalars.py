@@ -46,7 +46,13 @@ def parse_ctime_utc(col: Column | str) -> Column:
     forbids 'E' in parse patterns, so strip the 4-char weekday prefix.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(F.substring(c, 5, 100), F.lit("MMM dd HH:mm:ss yyyy"))
+    stripped = F.substring(c, 5, 100)
+    return F.coalesce(
+        # with RFC-822 offset ('+0000'): parsed as an instant, rendered UTC
+        F.try_to_timestamp(stripped, F.lit("MMM dd HH:mm:ss Z yyyy")),
+        # without offset (already-UTC strings)
+        F.try_to_timestamp(stripped, F.lit("MMM dd HH:mm:ss yyyy")),
+    )
 
 
 def epoch_seconds_ts(col: Column | str) -> Column:
