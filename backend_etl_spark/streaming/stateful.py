@@ -1,0 +1,138 @@
+"""Custom stateful streaming operator: inactivity-gap sessionization via
+``applyInPandasWithState``.
+
+The reference keeps per-tenant incremental state in watermark columns
+(utils/db_helpers.py:78-90) — scalar state keyed by (tenant, platform).
+This operator generalizes that to arbitrary per-key state with Spark's
+grouped-state API: one open session per user survives across
+micro-batches; closed sessions are emitted append-only.
+
+Semantics match the batch catalog query ``window_sessionize_events``
+(lag + running-sum over a 30-min gap) exactly, so the DuckDB oracle
+covers the stateful path too. To make a finite drain deterministic, the
+caller stages one far-future sentinel event per user: it closes the
+user's last real session (gap > threshold) and itself stays as an
+unemitted open session in state.
+
+Scale: state is O(active users) × a 4-long struct — far below the
+per-key event history a naive implementation would hold. Batches arrive
+Arrow-encoded; the per-group pandas walk is vectorized-in,
+vectorized-out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_US = 1800 * 1000 * 1000  # 30-min inactivity gap, same as the batch query
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "session_start timestamp, session_end timestamp"
+)
+STATE_SCHEMA = "start_us long, last_us long, n long, sid long"
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    ev = pd.concat(list(pdfs), ignore_index=True)
+    ev["ts_us"] = pd.to_datetime(ev["ts"]).astype("int64") // 1000
+    ev = ev.sort_values(["ts_us", "event_id"], ignore_index=True)
+
+    if state.exists:
+        start_us, last_us, n, sid = state.get
+    else:
+        start_us = last_us = None
+        n = 0
+        sid = 0  # sessions emitted so far; next open session is sid+1
+
+    out: list[tuple[int, int, int, int, int]] = []
+    for ts_us in ev["ts_us"]:
+        if start_us is None:  # first event ever for this user
+            sid += 1
+            start_us, last_us, n = ts_us, ts_us, 1
+        elif ts_us - last_us > GAP_US:  # close open session, start next
+            out.append((user_id, sid, n, start_us, last_us))
+            sid += 1
+            start_us, last_us, n = ts_us, ts_us, 1
+        else:  # extend open session
+            last_us, n = ts_us, n + 1
+    state.update((start_us, last_us, n, sid))
+
+    if out:
+        o = pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "start_us", "end_us"]
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": o["user_id"],
+                "session_id": o["session_id"],
+                "n_events": o["n_events"],
+                "session_start": pd.to_datetime(o["start_us"], unit="us"),
+                "session_end": pd.to_datetime(o["end_us"], unit="us"),
+            }
+        )
+
+
+def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+    """events stream -> closed-session stream (append)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize(
+    spark, source_dir: str, sink_path: str, checkpoint_dir: str
+) -> None:
+    """Drain a staged events source through the stateful sessionizer into
+    an append parquet sink."""
+    from backend_etl_spark.streaming.windowed import read_events_stream
+
+    sessions = sessionize_stream(read_events_stream(spark, source_dir))
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stage_events_with_sentinels(spark, sf_dir: str, out_dir: str) -> None:
+    """Stage `events` plus one far-future sentinel event per user (closes
+    every real session so a single drain emits them all)."""
+    from pyspark.sql import functions as F
+
+    from backend_etl_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sentinels = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.unix_micros(F.col("mx")) + 2 * GAP_US).alias("us"),
+        F.col("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").unionByName(
+        sentinels
+    ).write.mode("overwrite").parquet(out_dir)

@@ -1,0 +1,126 @@
+"""Watermarked windowed aggregation + within-watermark dedup streams.
+
+The reference's incremental loop (SURVEY §2.10) re-reads overlap windows
+and absorbs re-delivery with natural-key dedup; Structured Streaming
+expresses both natively:
+
+- ``withWatermark + window()`` — the tumbling-window rollup the
+  reference's downstream consumers would build over the mention tables
+  (and the streaming twin of the batch ``time_bucket_hourly_events``
+  catalog query, which is its oracle).
+- ``dropDuplicatesWithinWatermark`` — the reference's ON CONFLICT
+  DO NOTHING (utils/db_helpers.py:92-301) under at-least-once delivery,
+  with bounded state: keys are held only for the watermark horizon
+  instead of forever. At 100 TB/day this bounded-state form is the only
+  viable one — an unbounded ``dropDuplicates`` state grows without
+  limit; the horizon + idempotent-sink pair gives the same
+  effectively-once result.
+
+Batch-equivalence discipline (SURVEY §7.3): every stream here drains
+with ``Trigger.AvailableNow`` into a parquet sink the driver can read
+back, so the DuckDB batch oracle checks streaming results hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_etl_spark.sources.loader import load_table
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stage_events_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, duplicate_n: int = 0
+) -> None:
+    """Materialize `events` as a stream-readable source directory
+    (µs timestamps — readStream has no nanosAsLong shim). With
+    ``duplicate_n`` > 0, re-deliver the first n events as a second file,
+    simulating the reference's overlap-window re-scrapes (at-least-once)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(out_dir)
+    if duplicate_n:
+        ev.orderBy("event_id").limit(duplicate_n).write.mode("append").parquet(out_dir)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_DDL).parquet(source_dir)
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+) -> None:
+    """Tumbling-window count/sum per event_type with event-time watermark.
+
+    Complete-mode foreachBatch overwriting the parquet sink: the final
+    micro-batch holds every window, so the drained sink equals the batch
+    aggregation exactly — late data within `delay` folds in, and the
+    result is deterministic under any file→batch split.
+    """
+    agg = (
+        read_events_stream(spark, source_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+    def _overwrite(batch: DataFrame, _batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(sink_path)
+
+    (
+        agg.writeStream.foreachBatch(_overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    delay: str = "36500 days",
+) -> None:
+    """Drain the source through ``dropDuplicatesWithinWatermark`` on the
+    natural key (event_id) into an append parquet sink.
+
+    State is bounded by the watermark horizon — the scale-safe form of
+    the reference's insert-if-absent. The default horizon here is
+    effectively-unbounded so the drained result is exactly DISTINCT for
+    the oracle; production sets `delay` to the real late-data bound.
+    """
+    deduped = (
+        read_events_stream(spark, source_dir)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

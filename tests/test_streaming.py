@@ -28,3 +28,109 @@ def test_stream_drain_and_checkpoint_noop(spark, sf_dir, tmp_path):
     shutil.rmtree(ckpt)
     stream_events_to_sink(spark, src, sink, ckpt)
     assert spark.read.parquet(sink).count() == n1
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed agg / within-watermark dedup / stateful sessions
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from backend_etl_spark.streaming import stateful, windowed  # noqa: E402
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, tmp_path):
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    windowed.stage_events_source(spark, sf_dir, src)
+    windowed.run_windowed_counts(spark, src, sink, ckpt)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["h"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_dedup_within_watermark_absorbs_redelivery(spark, sf_dir, tmp_path):
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    windowed.stage_events_source(spark, sf_dir, src, duplicate_n=100)
+    n_distinct = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(src).count() == n_distinct + 100
+
+    windowed.run_dedup_within_watermark(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def _batch_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap.isNull() | (gap > stateful.GAP_US), 1).otherwise(0).alias("ns"),
+        )
+        .select("user_id", "ts", F.sum("ns").over(wrun).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    stateful.stage_events_with_sentinels(spark, sf_dir, src)
+    stateful.run_sessionize(spark, src, sink, ckpt)
+
+    got = sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in _batch_sessions(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_stateful_state_survives_across_drains(spark, sf_dir, tmp_path):
+    """Cross-batch state: drain real events first (last session per user
+    stays open in state), then deliver sentinels and drain again — the
+    held-back sessions emit, and the union matches the batch answer."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    windowed.stage_events_source(spark, sf_dir, src)  # no sentinels yet
+    stateful.run_sessionize(spark, src, sink, ckpt)
+    n_first = spark.read.parquet(sink).count()
+
+    # second delivery: sentinels only, appended as a new source file
+    ev = load_table(spark, sf_dir, "events")
+    ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.timestamp_micros(F.unix_micros(F.col("mx")) + 2 * stateful.GAP_US).alias("ts"),
+        "user_id",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).write.mode("append").parquet(src)
+    stateful.run_sessionize(spark, src, sink, ckpt)
+
+    total = spark.read.parquet(sink).count()
+    want = _batch_sessions(spark, sf_dir).count()
+    assert n_first < total == want
