@@ -396,3 +396,74 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partitioning are the real thing)."""
     tune(spark)
     return binary_meta(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(ceil(length(text) / 64.0) AS BIGINT) AS nf
+      FROM documents
+    ), f AS (
+      SELECT doc_id, unnest(range(0, nf)) AS frame_idx, text FROM d
+    )
+    SELECT doc_id,
+           frame_idx,
+           CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS BIGINT)
+               AS frame_len,
+           md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM f
+    WHERE frame_idx % 4 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (chunk payload into 64-byte frames,
+    keep every 4th) via mapInPandas fan-out — 1 payload row → N frame
+    rows; documents are ASCII so the byte-chunk oracle is exact SQL."""
+    tune(spark)
+    from backend_etl_spark.operators.multimodal import frame_sample
+
+    return frame_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_fake_embed",
+    oracle="""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+    k AS (SELECT doc_id, h, unnest(range(0, 4)) AS feat_idx FROM m)
+    SELECT doc_id, feat_idx,
+           CAST((strpos('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 1 AS INT), 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 2 AS INT), 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 3 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 4 AS INT), 1)) - 1)
+             AS BIGINT) AS feat_q
+    FROM k
+    """,
+)
+def multimodal_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-and-embed stand-in: deterministic 4-wide quantized feature
+    vector per payload through the Arrow decode path (md5 windows in
+    place of a model forward pass — same plan shape)."""
+    tune(spark)
+    from backend_etl_spark.operators.multimodal import extract_features
+
+    return extract_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(substr(text, 1, 100)) AS BIGINT) AS resized_len,
+           md5(substr(text, 1, 100))                    AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail stand-in: truncate payload to 100 bytes and
+    re-digest via mapInPandas (real resize stubbed behind decode_image)."""
+    tune(spark)
+    from backend_etl_spark.operators.multimodal import resize_payload
+
+    return resize_payload(load_table(spark, sf_dir, "documents"))

@@ -34,6 +34,22 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
     )
 
 
+def decode_audio(payload: bytes):  # pragma: no cover - stub
+    """STUB: real audio decode requires soundfile/librosa, not present here."""
+    raise NotImplementedError(
+        "audio decode is stubbed in this environment; extract_features() "
+        "provides the deterministic feature path"
+    )
+
+
+def decode_video(payload: bytes):  # pragma: no cover - stub
+    """STUB: real video decode requires ffmpeg/opencv, not present here."""
+    raise NotImplementedError(
+        "video decode is stubbed in this environment; frame_sample() provides "
+        "the deterministic frame-chunking path"
+    )
+
+
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = pdf["content"]
@@ -54,7 +70,121 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def binary_meta(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Treat a text column as an opaque binary payload and extract typed
     metadata via Arrow-batched mapInPandas (the multimodal decode path)."""
-    payload = df.select(
+    payload = _as_payload(df, id_col, text_col)
+    return payload.mapInPandas(_meta_batches, BINARY_META_SCHEMA)
+
+
+def _as_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, BINARY content) projection — the opaque-media column shape."""
+    return df.select(
         F.col(id_col).alias("doc_id"), F.encode(F.col(text_col), "UTF-8").alias("content")
     )
-    return payload.mapInPandas(_meta_batches, BINARY_META_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len bigint, frame_md5 string"
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_bytes: int = 64,
+    every: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload: chunk
+    into fixed-size frames, keep every k-th (1 payload row → N frame
+    rows, the UDTF/flatMap shape of the reference's page→reviews parse,
+    SURVEY §2.12 D4).
+
+    The "decode" is a deterministic byte-chunking stand-in (real codecs
+    absent — see decode_video); the Spark plumbing is real: Arrow-batched
+    mapInPandas, per-partition fan-out with no shuffle. At 100 TB the
+    payload column never leaves the executor and output is pruned to
+    frame digests, not frame bytes.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            md5s: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                for i in range(0, (len(payload) + frame_bytes - 1) // frame_bytes, every):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return _as_payload(df, id_col, text_col).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, feat_idx bigint, feat_q bigint"
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 4
+) -> DataFrame:
+    """Decode-and-embed stand-in: a deterministic `dim`-wide feature
+    vector per payload, quantized to 16-bit ints (feature k = the k-th
+    4-hex-digit window of the payload md5).
+
+    Integers, not floats, so the DuckDB oracle matches hash-exact with
+    no rounding hazard. Shape-wise this is exactly the real path (opaque
+    binary in → fixed-width vector out, Arrow both ways); swapping the
+    md5 for a model forward pass changes nothing in the plan.
+    """
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            vals: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                h = hashlib.md5(payload).hexdigest()
+                for k in range(dim):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    vals.append(int(h[4 * k : 4 * k + 4], 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "feat_idx": pd.Series(idxs, dtype="int64"),
+                    "feat_q": pd.Series(vals, dtype="int64"),
+                }
+            )
+
+    return _as_payload(df, id_col, text_col).mapInPandas(_feats, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, resized_len bigint, resized_md5 string"
+
+
+def resize_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", target_bytes: int = 100
+) -> DataFrame:
+    """Resize/downscale stand-in: truncate the payload to `target_bytes`
+    and re-digest (real image resize absent — see decode_image). Same
+    mapInPandas batch shape as a real thumbnailer."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["content"].map(lambda b: b[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "resized_len": resized.map(len).astype("int64"),
+                    "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return _as_payload(df, id_col, text_col).mapInPandas(_resize, RESIZE_SCHEMA)

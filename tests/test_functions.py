@@ -93,3 +93,46 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(2, 0.05 * v)
+
+
+def test_multimodal_frame_sample_shapes(spark):
+    from backend_etl_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 64), (3, "c")], "doc_id bigint, text string"
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): (r["frame_len"], r["frame_md5"])
+        for r in multimodal.frame_sample(df).collect()
+    }
+    # 300 bytes -> frames 0..4, keep 0 and 4; 64 -> frame 0; 1 -> frame 0
+    assert set(rows) == {(1, 0), (1, 4), (2, 0), (3, 0)}
+    assert rows[(1, 0)][0] == 64
+    assert rows[(1, 4)][0] == 300 - 4 * 64
+    assert rows[(3, 0)][0] == 1
+    import hashlib
+
+    assert rows[(2, 0)][1] == hashlib.md5(b"b" * 64).hexdigest()
+
+
+def test_multimodal_fake_embed_deterministic(spark):
+    import hashlib
+
+    from backend_etl_spark.operators import multimodal
+
+    df = spark.createDataFrame([(7, "hello world")], "doc_id bigint, text string")
+    got = {
+        r["feat_idx"]: r["feat_q"] for r in multimodal.extract_features(df).collect()
+    }
+    h = hashlib.md5(b"hello world").hexdigest()
+    assert got == {k: int(h[4 * k : 4 * k + 4], 16) for k in range(4)}
+
+
+def test_multimodal_decode_stubs_raise():
+    import pytest as _pytest
+
+    from backend_etl_spark.operators import multimodal
+
+    for stub in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
+        with _pytest.raises(NotImplementedError):
+            stub(b"\x00")
