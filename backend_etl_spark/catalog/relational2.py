@@ -323,3 +323,26 @@ def orders_monthly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "skew_salted_agg_events",
+    oracle="""
+    SELECT user_id,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (hot keys spread over 16 shuffle
+    partitions, partials folded per key) — must equal the direct GROUP
+    BY exactly. The skew-mitigation path for hot grouping keys at
+    100 TB; see operators/skew.py."""
+    tune(spark)
+    from backend_etl_spark.operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    out = salted_count_sum(ev, ["user_id"], "value")
+    return out.withColumn("total", F.round("total", 2))

@@ -1,0 +1,97 @@
+"""Skew-mitigation operators: salted aggregation and salted join.
+
+At 100 TB a handful of hot keys (one viral post's mentions, one tenant
+with 100× the volume) can pin a whole stage on one task. Two standard
+answers, both expressed declaratively so Catalyst/AQE still optimize
+around them:
+
+- AQE skew-join splitting is ON by default in our session
+  (``spark.sql.adaptive.skewJoin.enabled``, session.py) — that handles
+  sort-merge joins whose *partitions* skew.
+- These operators handle the cases AQE can't: a skewed ``groupBy`` (hot
+  grouping key) and a broadcast-side-too-big skewed join, via explicit
+  salting — spread each hot key over ``n_salts`` shuffle partitions,
+  then fold the partials.
+
+Salting an aggregation is exact for algebraic aggregates (sum/count/
+min/max): stage 1 aggregates (key, salt), stage 2 merges partials per
+key. The second shuffle moves only |keys| × n_salts rows — negligible
+next to the unsalted hot-partition cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS, col_name: str = "_salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts) — hash of the whole row
+    rather than rand() so re-runs (and retried tasks) are stable."""
+    return df.withColumn(
+        col_name, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_count_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_col: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """groupBy(key).agg(count, sum) in two salted stages.
+
+    Equivalent to the direct aggregation (property-tested), but the
+    first shuffle key is (key, salt) so a hot key spreads over n_salts
+    tasks. Output: key_cols, n BIGINT, total DOUBLE.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.count(F.lit(1)).alias("_pn"), F.sum(sum_col).alias("_ps")
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_pn").cast("bigint").alias("n"), F.sum("_ps").alias("total")
+    )
+
+
+def salted_broadcast_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the large side, explode the small side
+    across all salt values, join on (key, salt).
+
+    The small side is replicated n_salts× and broadcast — so each hot
+    key's rows land on n_salts different tasks instead of one. Use when
+    the small side fits in memory ×n_salts; otherwise fall back to AQE
+    skew-join on a sort-merge plan.
+    """
+    salted_large = with_salt(large, n_salts)
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_large.join(F.broadcast(exploded_small), [*on, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def top_keys(df: DataFrame, key_cols: list[str], k: int = 10) -> DataFrame:
+    """Hot-key diagnostic: the k heaviest keys and their row share —
+    what you run before deciding to salt."""
+    total = df.count()
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), *key_cols)
+        .limit(k)
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
+    )
+
+
+def skew_ratio(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """max(key count) / avg(key count), as a 1-row DataFrame."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg((F.max("n") / F.avg("n")).alias("skew_ratio"))

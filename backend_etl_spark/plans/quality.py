@@ -1,0 +1,86 @@
+"""Physical-plan quality checks — the "would this survive 100×?" gate.
+
+The reference hand-places its optimizations in control flow (SURVEY
+§4.1); here Catalyst places them, and these helpers make the placement
+*testable*: tests assert that a catalog query's physical plan broadcasts
+its dimensions, pushes filters into the parquet scan, prunes columns,
+and never degenerates into a cartesian product. A plan regression then
+fails CI instead of shipping a 100 TB accident.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (what .explain prints)."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_occurrences(df: DataFrame, pattern: str) -> int:
+    return len(re.findall(pattern, plan_text(df)))
+
+
+def num_shuffles(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (each fully reshuffles its
+    input). Counts the formatted plan's detail headers — ``(4) Exchange``
+    — so tree and detail sections aren't double-counted; broadcast
+    exchanges are excluded (they move only the small side).
+
+    AQE may later coalesce partitions within an exchange, but the
+    exchange count itself is the structural cost to minimize.
+    """
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan_text(df), re.MULTILINE))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return count_occurrences(df, r"BroadcastHashJoin|BroadcastNestedLoopJoin") > 0
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return count_occurrences(df, r"CartesianProduct") > 0
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All non-empty PushedFilters lists in the scan nodes."""
+    return [
+        m
+        for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan_text(df))
+        if m.strip()
+    ]
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of each file scan — verifies column pruning (a scan
+    reading all columns for a narrow projection is a plan bug)."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan_text(df))
+
+
+def assert_scale_ready(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    require_broadcast: bool = False,
+    require_pushed_filter: bool = False,
+    max_scan_columns: int | None = None,
+) -> None:
+    """One-call plan gate used by the plan-quality tests."""
+    problems: list[str] = []
+    if has_cartesian(df):
+        problems.append("plan contains CartesianProduct")
+    if max_shuffles is not None and (n := num_shuffles(df)) > max_shuffles:
+        problems.append(f"{n} shuffles > allowed {max_shuffles}")
+    if require_broadcast and not has_broadcast_join(df):
+        problems.append("expected a broadcast join, found none")
+    if require_pushed_filter and not pushed_filters(df):
+        problems.append("no filter pushed into any scan")
+    if max_scan_columns is not None:
+        widths = [len(s.split(",")) for s in read_schemas(df) if s]
+        if widths and max(widths) > max_scan_columns:
+            problems.append(f"widest scan reads {max(widths)} cols > {max_scan_columns}")
+    if problems:
+        raise AssertionError("; ".join(problems) + "\n--- plan ---\n" + plan_text(df))

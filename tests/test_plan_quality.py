@@ -1,0 +1,107 @@
+"""Physical-plan gates: broadcast placement, filter pushdown, column
+pruning, shuffle counts, no cartesian products — the 100 TB survival
+properties, locked in as tests so a plan regression fails CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from backend_etl_spark.catalog import REGISTRY
+from backend_etl_spark.operators import skew
+from backend_etl_spark.plans import quality
+from backend_etl_spark.sources.loader import load_table
+
+
+def test_flagship_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    quality.assert_scale_ready(
+        df, require_broadcast=True, require_pushed_filter=True
+    )
+
+
+def test_join_region_revenue_prunes_columns(spark, sf_dir):
+    df = REGISTRY["join_region_revenue"].fn(spark, sf_dir)
+    # lineitem is 16 columns; the scan must read only the join/agg cols
+    quality.assert_scale_ready(df, require_broadcast=True, max_scan_columns=8)
+
+
+def test_no_catalog_query_has_cartesian(spark, sf_dir):
+    skip = {"streaming_"}  # streaming entries execute on build, not lazily
+    for name, spec in REGISTRY.items():
+        if any(name.startswith(p) for p in skip):
+            continue
+        df = spec.fn(spark, sf_dir)
+        assert not quality.has_cartesian(df), f"{name} plan has CartesianProduct"
+
+
+def test_knn_brute_force_is_single_broadcast_pass(spark, sf_dir):
+    df = REGISTRY["knn_brute_force_cosine"].fn(spark, sf_dir)
+    quality.assert_scale_ready(df, require_broadcast=True)
+
+
+def test_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert any("l_quantity" in f for f in quality.pushed_filters(df))
+    (schema,) = quality.read_schemas(df)
+    assert len(schema.split(",")) == 2  # column-pruned scan
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    from backend_etl_spark.operators.dedup import exact_dedup
+
+    df = exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    assert quality.num_shuffles(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# skew operators: equivalence + plan shape
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1000 rows of hot key 'h' + 200 spread across 20 cold keys."""
+    hot = spark.range(1000).select(
+        F.lit("h").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    cold = spark.range(200).select(
+        F.concat(F.lit("c"), (F.col("id") % 20)).alias("k"),
+        F.lit(1.0).alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_agg_equals_direct(spark, skewed):
+    direct = {
+        r["k"]: (r["n"], r["total"])
+        for r in skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["total"])
+        for r in skew.salted_count_sum(skewed, ["k"], "v").collect()
+    }
+    assert salted == direct
+
+
+def test_salted_broadcast_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("h", "hot"), ("c0", "cold"), ("c7", "cold")], "k string, tag string"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["tag"]) for r in skewed.join(dim, "k").collect()
+    )
+    joined = skew.salted_broadcast_join(skewed, dim, ["k"])
+    assert quality.has_broadcast_join(joined)
+    assert sorted((r["k"], r["v"], r["tag"]) for r in joined.collect()) == plain
+
+
+def test_skew_diagnostics(spark, skewed):
+    top = skew.top_keys(skewed, ["k"], k=1).collect()
+    assert top[0]["k"] == "h" and top[0]["n"] == 1000
+    (ratio,) = skew.skew_ratio(skewed, ["k"]).collect()[0]
+    assert ratio > 10  # hot key is >10x the average
