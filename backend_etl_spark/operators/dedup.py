@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from backend_etl_spark.functions.scalars import normalize_text, tokens
+from backend_etl_spark.operators.partitioning import spread
 
 DEFAULT_NUM_HASHES = 4
 DEFAULT_SHINGLE = 3
@@ -67,12 +68,27 @@ def shingles(text_col, n: int = DEFAULT_SHINGLE) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Distinct (id, shingle) pairs — the exploded shingle relation."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+def doc_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs — the exploded shingle relation.
+
+    ``distinct=True`` (one shuffle) is required where shingles are
+    *counted* (Jaccard). Duplicate-insensitive consumers (MinHash min)
+    pass ``distinct=False`` and skip that shuffle entirely.
+    """
+    base = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    out = base.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
+    # base is hash-partitioned on id, which satisfies the clustering of
+    # both the (id, shingle) distinct and every downstream groupBy(id) —
+    # the explode fan-out runs wide and nothing reshuffles after it.
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -87,8 +103,12 @@ def minhash_signatures(
 
     md5-as-hash-family keeps the signature portable across engines (the
     DuckDB oracle reproduces it exactly) and deterministic across runs.
+
+    Non-distinct shingles: min() is duplicate-insensitive, so the
+    dedup shuffle is skipped — explode feeds the partial aggregation
+    directly (map-side combine collapses duplicates for free).
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = doc_shingles(df, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -173,30 +193,29 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per doc from distinct tokens.
 
     bit_j(token) = parity of the first hex char of md5(token || '#' || j);
-    simhash bit j = majority vote over tokens. Explode tokens × 16 bit
-    positions → two groupBys. Engine-portable (md5-based) and UDF-free.
+    simhash bit j = majority vote over tokens. Computed as ONE
+    aggregation with 16 sum columns (one per bit) over distinct tokens —
+    no 16× bit-position explode, no second wide shuffle; the only
+    full-width shuffle is the token distinct, and the vote aggregation
+    moves |distinct tokens| rows once.
     """
+    base = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        base.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .distinct()
     )
-    bits = tok.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit_pos"),
-        F.col("tok"),
-    ).select(
-        F.col(id_col),
-        "bit_pos",
-        (
-            (F.ascii(F.substring(F.md5(F.concat_ws("#", F.col("tok"), F.col("bit_pos"))), 1, 1)) % 2)
-            * 2
-            - 1
-        ).alias("contrib"),
+
+    def _contrib(j: int) -> F.Column:
+        h = F.md5(F.concat_ws("#", F.col("tok"), F.lit(str(j))))
+        return (F.ascii(F.substring(h, 1, 1)) % 2) * 2 - 1
+
+    votes = tok.groupBy(id_col).agg(
+        *[F.sum(_contrib(j)).alias(f"v{j}") for j in range(16)]
     )
-    votes = bits.groupBy(id_col, "bit_pos").agg(F.sum("contrib").alias("v"))
-    bit_weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit_pos AS INT))")
-    return votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("v") >= 0, bit_weight).otherwise(F.lit(0).cast("long")))
-        .cast("long")
-        .alias("simhash16")
-    )
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash16"))

@@ -75,9 +75,15 @@ def binary_meta(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _as_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, BINARY content) projection — the opaque-media column shape."""
+    """(id, BINARY content) projection — the opaque-media column shape.
+
+    Deliberately NOT repartitioned: these stand-in decoders are
+    byte-cheap, so Python-worker spawn would dominate any parallelism
+    win. A real codec (ms-per-payload) should wrap this in
+    ``partitioning.spread`` so one batch stream runs per core."""
     return df.select(
-        F.col(id_col).alias("doc_id"), F.encode(F.col(text_col), "UTF-8").alias("content")
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
     )
 
 

@@ -56,6 +56,7 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     run("q3_shipping_priority")  # warmup: JVM + codegen + parquet footer cache
+    run("multimodal_binary_meta")  # warmup: Python/Arrow UDF worker pool
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
