@@ -105,3 +105,63 @@ class FixtureFeedReader(DataSourceReader):
                             continue
                 yield (partition.page, line)
                 emitted += 1
+
+
+# ---------------------------------------------------------------------------
+# streaming reader: cursor pagination as stream offsets
+# ---------------------------------------------------------------------------
+#
+# The reference's Reddit scraper follows an `after` cursor page-by-page
+# and persists progress only via the tenant watermark
+# (reddit_scraper.py:46-55, 57-125). In Spark's streaming model the
+# cursor IS the offset: each micro-batch reads pages beyond the last
+# committed offset, and the checkpoint commit log replaces the hand-rolled
+# watermark bookkeeping — replayable, exactly-once into an idempotent sink.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class FixtureFeedStreamReader(SimpleDataSourceStreamReader):
+    """Offset = number of page files consumed (the local analog of the
+    remote API's opaque `after` cursor). New files appended to the feed
+    dir are picked up by the next micro-batch."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def _pages(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith((".json", ".jsonl"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        pages = self._pages()
+        first = start["page"]
+        rows = self._read_pages(pages[first:], first)
+        return rows, {"page": len(pages)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: deterministic because page files are
+        # immutable once written (the driver appends, never rewrites)
+        pages = self._pages()
+        return self._read_pages(pages[start["page"] : end["page"]], start["page"])
+
+    def _read_pages(self, fnames: list[str], first_idx: int):
+        out = []
+        for i, fname in enumerate(fnames):
+            with open(os.path.join(self.path, fname)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        out.append((first_idx + i, line))
+        return iter(out)
+
+
+def _stream_reader(self, schema) -> FixtureFeedStreamReader:
+    return FixtureFeedStreamReader(self.options)
+
+
+FixtureFeedDataSource.simpleStreamReader = _stream_reader

@@ -297,3 +297,45 @@ def test_dedup_key_nulls_compare_equal(spark, tmp_path):
     df = P.project_trustpilot(raw, COMPANY(), F.lit("acme.com"), FETCHED())
     n = write_idempotent(df, str(tmp_path / "tp"), S.DEDUP_KEYS["trustpilot_reviews"])
     assert n == 1  # NULL title == NULL title for dedup purposes
+
+
+def test_feed_stream_reader_incremental(spark, tmp_path):
+    """Cursor pagination as stream offsets: drain, append a page,
+    re-drain with the same checkpoint -> only the new page arrives."""
+    import json as _json
+
+    from backend_etl_spark.sources.datasource import FixtureFeedDataSource
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    for p in range(2):
+        (feed / f"page_{p:04d}.jsonl").write_text(
+            "\n".join(_json.dumps({"id": p * 10 + i}) for i in range(3))
+        )
+
+    spark.dataSource.register(FixtureFeedDataSource)
+
+    def drain():
+        (
+            spark.readStream.format("fixture_feed")
+            .option("path", str(feed))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    assert spark.read.parquet(sink).count() == 6
+
+    (feed / "page_0004.jsonl").write_text(_json.dumps({"id": 99}))
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 7
+    ids = {_json.loads(r["item"])["id"] for r in out.collect()}
+    assert 99 in ids
