@@ -467,3 +467,48 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_etl_spark.operators.multimodal import resize_payload
 
     return resize_payload(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle=f"""
+    WITH {_COS_CTE},
+    comp AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e),
+    bits AS (SELECT vec_id, i, x, unnest(range(0, 8)) AS j FROM comp),
+    proj AS (
+      SELECT vec_id, j,
+             sum(x * ((ascii(substr(md5(CAST(i AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1)) AS p
+      FROM bits GROUP BY vec_id, j),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN round(p, 6) >= 0
+                           THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+               AS lsh_sig
+      FROM proj GROUP BY vec_id),
+    es AS (SELECT e.vec_id, v, lsh_sig FROM e JOIN sig USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, lsh_sig, v AS qv FROM es WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, es.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+               AS cosine_sim
+      FROM q JOIN es ON es.lsh_sig = q.lsh_sig AND es.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signatures (md5-derived,
+    UDF-free) bucket the corpus; exact cosine only within the query's
+    bucket. The scale path when there is no precomputed cluster
+    assignment — signature build is linear, search is per-bucket."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucket_topk(emb, F.col("vec_id") < 20, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    )

@@ -122,3 +122,66 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector, computed relationally.
+
+    Hyperplane j's component for dimension i is ±1 from the parity of
+    md5(f"{i}#{j}") — deterministic, engine-portable (the DuckDB oracle
+    reproduces every bit), and requiring no stored hyperplane matrix.
+    Plan shape: posexplode(vec) × n_bits → two groupBys — linear in
+    n·dim·n_bits with map-side partial aggregation; no UDF, no driver
+    state. Projections are rounded to 6 dp before the sign test so
+    summation-order differences can't flip a boundary bit.
+
+    Output: (id, lsh_sig BIGINT) — cosine-similar vectors collide with
+    high probability; the signature is the ANN bucket key.
+    """
+    comp = df.select(
+        F.col(id_col), F.posexplode(to_double(vec_col)).alias("i", "x")
+    )
+    bits = comp.select(
+        id_col,
+        "i",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
+    )
+    sgn = (
+        F.ascii(F.substring(F.md5(F.concat_ws("#", F.col("i"), F.col("j"))), 1, 1)) % 2
+    ) * 2 - 1
+    proj = bits.groupBy(id_col, "j").agg(F.sum(F.col("x") * sgn).alias("p"))
+    bit_val = F.when(
+        F.round(F.col("p"), 6) >= 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return proj.groupBy(id_col).agg(F.sum(bit_val).cast("bigint").alias("lsh_sig"))
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: signatures become the cluster
+    assignment and the search reduces to the IVF equi-join plan — only
+    same-bucket candidates are scored. ``query_pred`` selects the query
+    rows out of the corpus (signatures are computed once)."""
+    sigs = lsh_signatures(corpus, id_col, vec_col, n_bits)
+    with_sig = corpus.join(sigs, id_col)
+    return ivf_topk(
+        with_sig,
+        with_sig.where(query_pred),
+        id_col=id_col,
+        vec_col=vec_col,
+        cluster_col="lsh_sig",
+        k=k,
+    )

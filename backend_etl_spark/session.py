@@ -33,6 +33,10 @@ STARTUP_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
     "spark.ui.enabled": "false",
+    # session-catalog warehouse for bucketed tables (co-located joins)
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_WAREHOUSE_DIR", "/tmp/spark-graft-warehouse"
+    ),
 }
 
 

@@ -105,3 +105,37 @@ def test_skew_diagnostics(spark, skewed):
     assert top[0]["k"] == "h" and top[0]["n"] == 1000
     (ratio,) = skew.skew_ratio(skewed, ["k"]).collect()[0]
     assert ratio > 10  # hot key is >10x the average
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located fact-to-fact join: both sides bucketed on the join key
+    -> sort-merge join with ZERO Exchange operators."""
+    from backend_etl_spark.sources.loader import write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "orders_b", "o_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "lineitem_b", "l_orderkey",
+    )
+    j = (
+        spark.table("lineitem_b")
+        .hint("merge")
+        .join(
+            spark.table("orders_b").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    assert quality.num_shuffles(j) == 0, quality.plan_text(j)
+
+    # same plan without bucketing shuffles both sides
+    plain = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").hint("merge")
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    assert quality.num_shuffles(plain) == 2
