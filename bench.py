@@ -40,8 +40,15 @@ BENCH_QUERIES = [
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
     "dedup_simhash",
+    "dedup_exact_docs",
     "knn_brute_force_cosine",
+    "knn_lsh_bucketed",
     "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q12_priority_split",
+    "q14_promo_revenue",
+    "skew_salted_agg_events",
 ]
 
 
