@@ -346,3 +346,90 @@ def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     out = salted_count_sum(ev, ["user_id"], "value")
     return out.withColumn("total", F.round("total", 2))
+
+
+@register(
+    "rollup_multigrain_events",
+    oracle="""
+    SELECT grain, grain_start, event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT 'hour' AS grain, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS grain_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT 'day', date_trunc('day', CAST(ts AS TIMESTAMP)), event_type, value
+      FROM events
+      UNION ALL
+      SELECT 'month', date_trunc('month', CAST(ts AS TIMESTAMP)), event_type, value
+      FROM events
+    ) g
+    GROUP BY grain, grain_start, event_type
+    """,
+)
+def rollup_multigrain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass producing
+    hour/day/month rollups of the event stream. Expressed as a grain
+    union so each granularity is a partition-prunable slice of ONE
+    materialized rollup table (the TimescaleDB/Druid pattern, Spark-first:
+    at 100 TB this materializes incrementally via foreachBatch and serves
+    dashboards without touching raw events)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    grains = None
+    for grain in ("hour", "day", "month"):
+        g = ev.select(
+            F.lit(grain).alias("grain"),
+            F.date_trunc(grain, F.col("ts")).alias("grain_start"),
+            "event_type",
+            "value",
+        )
+        grains = g if grains is None else grains.unionByName(g)
+    return grains.groupBy("grain", "grain_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "higher_order_array_ops",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT)          AS n_pos,
+           round(list_aggregate(v, 'sum'), 4)                       AS total,
+           round(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 4)
+                                                                    AS max_abs,
+           CASE WHEN len(list_filter(v, x -> x > 0.5)) > 0
+                THEN TRUE ELSE FALSE END                            AS any_gt_half
+    FROM e
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions, all JVM-side Catalyst lambdas (the
+    UDF-free vector-column toolkit): filter, aggregate fold, transform,
+    exists."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("total"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            4,
+        ).alias("max_abs"),
+        F.exists(v, lambda x: x > 0.5).alias("any_gt_half"),
+    )

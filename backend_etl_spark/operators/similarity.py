@@ -142,10 +142,16 @@ def lsh_signatures(
 
     Output: (id, lsh_sig BIGINT) — cosine-similar vectors collide with
     high probability; the signature is the ANN bucket key.
+
+    The input is hash-partitioned once on the id (``spread``): both
+    groupBys and the caller's signature-attach join then satisfy their
+    clustering from that single partitioning — the ×dim×n_bits explode
+    never reshuffles.
     """
-    comp = df.select(
-        F.col(id_col), F.posexplode(to_double(vec_col)).alias("i", "x")
-    )
+    from backend_etl_spark.operators.partitioning import spread
+
+    base = spread(df.select(F.col(id_col), to_double(vec_col).alias("_v")), id_col)
+    comp = base.select(F.col(id_col), F.posexplode(F.col("_v")).alias("i", "x"))
     bits = comp.select(
         id_col,
         "i",
@@ -174,9 +180,13 @@ def lsh_bucket_topk(
     """LSH-bucketed approximate top-k: signatures become the cluster
     assignment and the search reduces to the IVF equi-join plan — only
     same-bucket candidates are scored. ``query_pred`` selects the query
-    rows out of the corpus (signatures are computed once)."""
-    sigs = lsh_signatures(corpus, id_col, vec_col, n_bits)
-    with_sig = corpus.join(sigs, id_col)
+    rows out of the corpus (signatures are computed once; the attach
+    join duplicates the signature subtree in the static plan, but the
+    exchanges are canonically identical and AQE's ReuseExchange executes
+    them once)."""
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    sigs = lsh_signatures(base, id_col, vec_col, n_bits)
+    with_sig = base.join(sigs, id_col)
     return ivf_topk(
         with_sig,
         with_sig.where(query_pred),
