@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): the invariants SURVEY §5.2 calls
+for — sink idempotence under arbitrary batches, timestamp-parser
+round-trips across the four reference encodings, normalization
+invariance of the dedup key, and salted-aggregation equivalence.
+
+Each example batches many generated values into ONE DataFrame so a
+property runs a handful of Spark jobs, not one per value.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from backend_etl_spark.functions import scalars
+from backend_etl_spark.operators.dedup import content_key
+from backend_etl_spark.operators.skew import salted_count_sum
+from backend_etl_spark.sink import write_idempotent
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+DT = st.datetimes(
+    min_value=dt.datetime(1990, 1, 5),
+    max_value=dt.datetime(2037, 12, 25),
+).map(lambda d: d.replace(microsecond=0))
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 20), st.text(max_size=8)), max_size=30))
+def test_sink_idempotent_under_any_batch(spark, tmp_path_factory, batch):
+    """Re-writing any batch is a no-op; the sink holds one row per key."""
+    path = str(tmp_path_factory.mktemp("sink"))
+    df = spark.createDataFrame(batch, "k bigint, payload string") if batch else None
+    if df is None:
+        return
+    n1 = write_idempotent(df, path, ["k"])
+    distinct_keys = len({k for k, _ in batch})
+    assert n1 == distinct_keys
+    assert write_idempotent(df, path, ["k"]) == 0  # redelivery -> no-op
+    assert spark.read.parquet(path).count() == distinct_keys if batch else True
+
+
+@SLOW
+@given(st.lists(DT, min_size=1, max_size=50))
+def test_timestamp_parsers_round_trip(spark, dts):
+    """Render each datetime in all four reference encodings, parse with
+    the Column helpers, and get the original instant back."""
+    rows = [
+        (
+            d.strftime("%a %b %d %H:%M:%S %Y"),  # ctime, no offset
+            d.strftime("%a %b %d %H:%M:%S +0000 %Y"),  # ctime + RFC822
+            int(d.replace(tzinfo=dt.timezone.utc).timestamp()),  # epoch s
+            int(d.replace(tzinfo=dt.timezone.utc).timestamp()) * 1000,  # epoch ms
+            d.strftime("%d %B %Y"),  # '23 January 2025'
+            "Date of purchase: " + d.strftime("%d/%m/%Y"),
+            d,
+        )
+        for d in dts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ctime string, ctime_tz string, es long, ems long, "
+        "longdate string, purchase string, want timestamp",
+    )
+    out = df.select(
+        scalars.parse_ctime_utc("ctime").alias("p_ctime"),
+        scalars.parse_ctime_utc("ctime_tz").alias("p_ctime_tz"),
+        scalars.epoch_seconds_ts("es").alias("p_es"),
+        scalars.epoch_millis_ts("ems").alias("p_ems"),
+        scalars.parse_long_date("longdate").alias("p_long"),
+        scalars.parse_purchase_date("purchase").alias("p_purchase"),
+        "want",
+    ).collect()
+    for r in out:
+        assert r["p_ctime"] == r["want"]
+        assert r["p_ctime_tz"] == r["want"]
+        assert r["p_es"] == r["want"]
+        assert r["p_ems"] == r["want"]
+        assert r["p_long"] == r["want"].date()
+        assert r["p_purchase"] == r["want"].date()
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(st.sampled_from([" ", "  ", "\t", "\n", " \t "]), min_size=1, max_size=8),
+)
+def test_content_key_whitespace_and_case_invariant(spark, words, seps):
+    """The dedup content key ignores whitespace layout and case — the
+    exact-dedup analog of ON CONFLICT key equality."""
+    canonical = " ".join(words)
+    mangled = ""
+    for i, w in enumerate(words):
+        mangled += (seps[i % len(seps)] if i else "") + w.upper()
+    mangled = seps[-1] + mangled + seps[0]
+    df = spark.createDataFrame([(canonical, mangled)], "a string, b string")
+    row = df.select(
+        content_key(F.col("a")).alias("ka"), content_key(F.col("b")).alias("kb")
+    ).collect()[0]
+    assert row["ka"] == row["kb"]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_agg_matches_direct(spark, rows):
+    """Two-stage salted aggregation is exact for count/sum on integers."""
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k bigint, v double"
+    )
+    direct = {
+        r["k"]: (r["n"], r["total"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["total"])
+        for r in salted_count_sum(df, ["k"], "v").collect()
+    }
+    assert salted == direct
