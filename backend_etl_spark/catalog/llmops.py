@@ -512,3 +512,50 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+@register(
+    "text_token_budget",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+                AS BIGINT)                                             AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens and a BPE-ish
+    pre-tokenizer regex count (the pretraining token-budget estimator)."""
+    tune(spark)
+    from backend_etl_spark.operators.textops import bpe_ish_token_count, token_count
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+                          [unicode(c)::BIGINT for c in string_split(text, '')]),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash fingerprint per document (polynomial fold
+    over codepoints, mod 1e9+7) — chunk-extendable unlike md5, identical
+    arithmetic in both engines."""
+    tune(spark)
+    from backend_etl_spark.operators.textops import rolling_hash
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash(F.col("text")).alias("roll_hash")
+    )

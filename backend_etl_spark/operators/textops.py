@@ -110,3 +110,36 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(norm).alias("content_md5"),
         F.md5(bag).alias("token_bag_md5"),
     )
+
+
+#: GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+#: digit runs, punctuation runs (leading-space-absorbing, like BPE
+#: pre-tokenization). Leftmost-first alternation — same semantics in
+#: Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count via the pre-tokenizer regex — the
+    cheap 'how many tokens will the model see' estimator for pretraining
+    budgets; whole-stage-codegen'd, no tokenizer library needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Karp-Rabin polynomial rolling hash over the character stream:
+    h = fold(h*31 + codepoint) mod 1e9+7. A true rolling fingerprint
+    (unlike md5, extendable incrementally chunk-by-chunk), expressed as
+    a Catalyst aggregate fold — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )

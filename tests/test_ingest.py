@@ -339,3 +339,74 @@ def test_feed_stream_reader_incremental(spark, tmp_path):
     assert out.count() == 7
     ids = {_json.loads(r["item"])["id"] for r in out.collect()}
     assert 99 in ids
+
+
+def test_generic_feed_ingest_multiplatform(spark, tmp_path):
+    """FeedSpec dispatch: linkedin / reddit / trustpilot feeds through
+    the same generic tick — window filter, idempotent sink, watermark."""
+    import json as _json
+
+    from backend_etl_spark.ingest.feed_pipeline import ingest_feed
+    from backend_etl_spark.sink import WatermarkStore
+
+    state = WatermarkStore(spark, str(tmp_path / "wm"))
+    tenant = {
+        "id": 7,
+        "company_name": "Acme",
+        "company_web_address": "acme.com",
+        "facebook_username": "acme",
+        "feefo_business_info": "acme-slug",
+        "place_url": "maps://acme",
+    }
+
+    cases = {
+        "linkedin": (  # 1 valid post; u2/u3 fail the posted_at shape guard
+            [
+                {"urn": "u1", "full_urn": "urn:li:1", "text": "post", "url": "l1",
+                 "post_type": "article",
+                 "posted_at": {"date": "2024-03-01 08:00:00", "timestamp": 1709280000000},
+                 "author": {"first_name": "Ann", "last_name": "Lee", "username": "ann",
+                            "headline": "CTO"},
+                 "media": {"url": "mimg"},
+                 "stats": {"total_reactions": 10, "like": 6, "comments": 3, "reposts": 0}},
+                {"urn": "u2", "text": "shape-fail", "url": "l2", "post_type": "post"},
+            ],
+            dt.datetime(2024, 3, 20), 1,
+        ),
+        "reddit": (
+            [
+                {"data": {"permalink": "/r/x/1", "title": "T1", "author": "u/a",
+                          "score": 10, "num_comments": 2, "created_utc": 1704067200.0,
+                          "selftext": "body",
+                          "preview": {"images": [{"source": {"url": "ri1"}}]}}},
+                {"data": {"permalink": "/r/x/2", "title": "T2", "author": "u/b",
+                          "created_utc": 1704067260.0}},
+            ],
+            dt.datetime(2024, 3, 20), 2,
+        ),
+        "trustpilot": (  # Eve's unparseable date falls out of the window
+            [
+                {"author_name": "Dana", "rating_alt": "Rated 4 out of 5 stars",
+                 "review_title": "Great", "review_body": "body",
+                 "review_date_raw": "23 January 2025"},
+                {"author_name": "Eve", "rating_alt": "Rated 1 out of 5 stars",
+                 "review_title": "Bad", "review_body": "x",
+                 "review_date_raw": "not a date"},
+            ],
+            dt.datetime(2025, 2, 1), 1,
+        ),
+    }
+
+    for platform, (payloads, as_of, want_n) in cases.items():
+        feed = tmp_path / f"feed_{platform}"
+        feed.mkdir()
+        (feed / "page_0000.jsonl").write_text(
+            "\n".join(_json.dumps(p) for p in payloads)
+        )
+        sink = str(tmp_path / f"sink_{platform}")
+        n = ingest_feed(spark, platform, str(feed), sink, state, tenant, as_of)
+        assert n == want_n, platform
+        assert spark.read.parquet(sink).count() == want_n
+        # redelivery is a no-op; watermark advanced to as_of
+        assert ingest_feed(spark, platform, str(feed), sink, state, tenant, as_of) == 0
+        assert state.get(7, platform) == as_of
