@@ -433,3 +433,77 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_abs"),
         F.exists(v, lambda x: x > 0.5).alias("any_gt_half"),
     )
+
+
+@register(
+    "session_window_builtin",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                              AS session_start,
+           max(ts) + INTERVAL 30 MINUTE         AS session_end,
+           count(*)                             AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window aggregation (30-min gap). Session
+    end is exclusive (last event + gap) per session_window semantics;
+    the oracle reproduces that from the lag/running-sum construction —
+    built-in and hand-rolled sessionization must agree exactly."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: per-customer trailing-30-day spend —
+    RANGE BETWEEN over epoch seconds (time-based frames, not row
+    counts), identical integer frame bounds in both engines."""
+    tune(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )

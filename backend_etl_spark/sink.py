@@ -25,7 +25,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -45,15 +45,14 @@ def write_idempotent(df: DataFrame, path: str, key_cols: list[str]) -> int:
     if _sink_exists(path):
         existing = spark.read.parquet(path).select(*key_cols).distinct()
         batch = batch.join(existing, key_cols, "left_anti")
-    # one pass: count + write (cache to avoid recomputing the anti-join)
-    batch = batch.persist()
-    try:
-        n = batch.count()
-        if n:
-            batch.write.mode("append").parquet(path)
-    finally:
-        batch.unpersist()
-    return n
+    # rows-appended metric rides the write action itself (Observation =
+    # accumulator-backed, SURVEY §2.6 A1's per-task count) — one pass,
+    # no persist, no second job. An all-duplicate batch writes an empty
+    # parquet commit, which the next read treats as zero rows.
+    obs = Observation()
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
+    batch.write.mode("append").parquet(path)
+    return obs.get["n"]
 
 
 class WatermarkStore:
