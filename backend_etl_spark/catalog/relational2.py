@@ -507,3 +507,105 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
     )
+
+
+@register(
+    "dq_validation_checks",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem_orphans',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           CAST((SELECT count(*) FROM
+                  (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                   HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_negative_qty',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity < 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    """,
+)
+def dq_validation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite as one DataFrame: null checks,
+    referential integrity (anti-join orphans), primary-key uniqueness,
+    domain/range checks. The ETL gate the reference implements as
+    scattered if-guards (SURVEY §2.3 P5), run declaratively — each check
+    is a scan-pruned aggregate, unioned into a (check_name, violations)
+    report."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    checks = [
+        one("orders_null_custkey", orders.where(F.col("o_custkey").isNull())),
+        one(
+            "lineitem_orphans",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        one(
+            "orders_dup_pk",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1),
+        ),
+        one("lineitem_negative_qty", li.where(F.col("l_quantity") < 0)),
+        one(
+            "orders_bad_status",
+            orders.where(~F.col("o_orderstatus").isin("F", "O", "P")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             round(value, 2) AS value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, value AS attr_value,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM purchases
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each per-user attribute observation
+    becomes a validity interval [effective_from, effective_to) with an
+    is_current flag — the warehouse pattern for dimension change
+    tracking, one window pass (lead), no self-join."""
+    tune(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", F.round("value", 2).alias("attr_value"))
+    )
+    return purchases.select(
+        "user_id",
+        "attr_value",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
