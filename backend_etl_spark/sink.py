@@ -31,28 +31,86 @@ from pyspark.sql.types import StructType
 
 
 def _sink_exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
-def write_idempotent(df: DataFrame, path: str, key_cols: list[str]) -> int:
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def write_idempotent(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    prune=None,
+) -> int:
     """Append `df` to parquet at `path`, skipping rows whose natural key
     already exists (effectively-once under at-least-once redelivery).
-    Returns the number of rows appended."""
+    Returns the number of rows appended.
+
+    Scale knobs:
+    - ``partition_cols``: hive-partition the sink layout (e.g. ingest
+      date). At 100 TB the key scan for the anti-join must not touch
+      the whole table.
+    - ``prune``: a Column predicate restricting which existing
+      partitions the anti-join reads (the caller's late-data horizon,
+      e.g. ``col('ingest_date') >= batch_min_date``). With a horizon H,
+      the anti-join cost is O(recent partitions), not O(history) —
+      correct as long as redelivery never arrives later than H (the
+      reference's overlap windows guarantee exactly that, SURVEY §2.10
+      W7).
+    """
     spark = df.sparkSession
     batch = df.dropDuplicates(key_cols)
     if _sink_exists(path):
-        existing = spark.read.parquet(path).select(*key_cols).distinct()
-        batch = batch.join(existing, key_cols, "left_anti")
+        existing = spark.read.parquet(path)
+        if prune is not None:
+            existing = existing.where(prune)
+        batch = batch.join(existing.select(*key_cols).distinct(), key_cols, "left_anti")
     # rows-appended metric rides the write action itself (Observation =
     # accumulator-backed, SURVEY §2.6 A1's per-task count) — one pass,
     # no persist, no second job. An all-duplicate batch writes an empty
     # parquet commit, which the next read treats as zero rows.
     obs = Observation()
     batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
-    batch.write.mode("append").parquet(path)
+    writer = batch.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
     return obs.get["n"]
+
+
+def compact_sink(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    partition_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite the sink with ``target_files`` files (per partition when
+    partitioned), atomically (write-new + swap, same recipe as the
+    watermark table). Incremental ticks accumulate one small file per
+    batch; at 100 TB unbounded small files destroy scan performance, so
+    compaction is a first-class maintenance operator, run off the ingest
+    path. Returns (files_before, files_after)."""
+    before = len(_data_files(path))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(target_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return before, len(_data_files(path))
 
 
 class WatermarkStore:

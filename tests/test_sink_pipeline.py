@@ -81,3 +81,55 @@ def test_incremental_pipeline_catchup_then_general(spark, events, tmp_path):
     c3 = run_incremental(spark, events, sink, store, as_of=t_end)
     assert c3 == {"catchup": 0, "general": 0}
     assert spark.read.parquet(sink).count() == total
+
+
+def test_partitioned_sink_with_pruned_antijoin(spark, tmp_path):
+    """Partitioned sink layout + horizon-pruned anti-join: dedup holds,
+    and the key scan reads only the pruned partitions."""
+    from backend_etl_spark.sink import write_idempotent
+
+    path = str(tmp_path / "psink")
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"), (3, "2024-01-02", "c")],
+        "k bigint, d string, payload string",
+    )
+    assert write_idempotent(b1, path, ["k"], partition_cols=["d"]) == 3
+    assert sorted(p.name for p in (tmp_path / "psink").iterdir() if p.is_dir()) == [
+        "d=2024-01-01", "d=2024-01-02",
+    ]
+
+    # redelivery of day-2 rows + one new row, horizon-pruned to day 2
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-02", "c"), (4, "2024-01-02", "d")],
+        "k bigint, d string, payload string",
+    )
+    from pyspark.sql import functions as F2
+
+    n = write_idempotent(
+        b2, path, ["k"], partition_cols=["d"], prune=F2.col("d") >= "2024-01-02"
+    )
+    assert n == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 4
+    assert out.select("k").distinct().count() == 4
+
+
+def test_compact_sink_preserves_rows(spark, tmp_path):
+    from backend_etl_spark.sink import compact_sink, write_idempotent
+
+    path = str(tmp_path / "csink")
+    for i in range(4):  # 4 incremental ticks -> many small files
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"p{i}") for j in range(5)], "k bigint, payload string"
+        )
+        write_idempotent(batch, path, ["k"])
+    rows_before = spark.read.parquet(path).collect()
+
+    before, after = compact_sink(spark, path, target_files=1)
+    assert before > after == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == sorted(
+        map(tuple, rows_before)
+    )
+    # sink still dedups correctly after the rewrite
+    dup = spark.createDataFrame([(0, "dup")], "k bigint, payload string")
+    assert write_idempotent(dup, path, ["k"]) == 0
