@@ -134,3 +134,44 @@ def test_stateful_state_survives_across_drains(spark, sf_dir, tmp_path):
     total = spark.read.parquet(sink).count()
     want = _batch_sessions(spark, sf_dir).count()
     assert n_first < total == want
+
+
+def test_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous aggregate: two incremental drains (half the events,
+    then the rest) produce the same hour/day/month rollup as one batch
+    aggregation over everything."""
+    from backend_etl_spark.streaming import rollup
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.count() // 2
+    ev.orderBy("event_id").limit(half).write.parquet(src)
+    rollup.maintain_rollup(spark, src, roll, ckpt)
+    n_after_first = (
+        spark.read.parquet(roll).where(F.col("grain") == "hour").agg(F.sum("n")).collect()[0][0]
+    )
+    assert n_after_first == half
+
+    ev.orderBy(F.col("event_id").desc()).limit(ev.count() - half).write.mode(
+        "append"
+    ).parquet(src)
+    rollup.maintain_rollup(spark, src, roll, ckpt)
+
+    got = {
+        (r["grain"], r["grain_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in rollup.read_rollup(spark, roll).collect()
+    }
+    want = {
+        (r["grain"], r["grain_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in rollup._partial_rollup(ev.select("ts", "event_type", "value"))
+        .select("grain", "grain_start", "event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for key, (n, sv) in want.items():
+        gn, gsv = got[key]
+        assert gn == n, key
+        assert abs(gsv - sv) < 1e-6, key  # summation-order tolerance
