@@ -609,3 +609,87 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("effective_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6)       AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+           round(covar_pop(l_extendedprice, l_discount), 6)  AS covar_p_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and
+    sample/population covariance (single shuffle, map-side moments)."""
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_s"),
+            F.round(F.covar_pop("l_extendedprice", "l_discount"), 6).alias("covar_p_disc"),
+        )
+    )
+
+
+@register(
+    "setop_except_all_priorities",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (duplicate-preserving difference) — the
+    bag-semantics counterpart of the existing distinct set ops."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return hi.exceptAll(f)
+
+
+@register(
+    "date_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY                  AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                                                                        AS days_since_epoch_start,
+           last_day(CAST(o_orderdate AS DATE))                          AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)             AS quarter_start,
+           CAST(extract(dow FROM o_orderdate) AS BIGINT)                AS day_of_week,
+           CAST(date_diff('month', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT)
+                                                                        AS months_to_y2k
+    FROM orders
+    """,
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family: interval add, day/month diffs,
+    last_day, quarter trunc, day-of-week — aligned to DuckDB semantics
+    (Sunday=0 dow; month diff as whole-month boundary count)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since_epoch_start"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        (F.dayofweek(d) - 1).cast("bigint").alias("day_of_week"),
+        # month-boundary count (DuckDB date_diff semantics), not Spark's
+        # fractional months_between
+        ((F.lit(2000) - F.year(d)) * 12 + (F.lit(1) - F.month(d)))
+        .cast("bigint")
+        .alias("months_to_y2k"),
+    )

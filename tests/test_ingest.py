@@ -410,3 +410,98 @@ def test_generic_feed_ingest_multiplatform(spark, tmp_path):
         # redelivery is a no-op; watermark advanced to as_of
         assert ingest_feed(spark, platform, str(feed), sink, state, tenant, as_of) == 0
         assert state.get(7, platform) == as_of
+
+
+def test_generic_feed_ingest_remaining_platforms(spark, tmp_path):
+    """FeedSpec dispatch for the other five platforms: twitter,
+    instagram, facebook, feefo, google_maps."""
+    import json as _json
+
+    from backend_etl_spark.ingest.feed_pipeline import ingest_feed
+    from backend_etl_spark.sink import WatermarkStore
+
+    state = WatermarkStore(spark, str(tmp_path / "wm"))
+    tenant = {
+        "id": 9,
+        "company_name": "Acme",
+        "company_web_address": "acme.com",
+        "facebook_username": "acme",
+        "feefo_business_info": "acme-slug",
+        "place_url": "maps://acme",
+    }
+
+    cases = {
+        "twitter": (
+            [{"id": "t1", "url": "u", "text": "hi @acme",
+              "createdAt": "Mon Nov 13 22:13:20 +0000 2023",
+              "author": {"name": "alice"}},
+             {"id": "t2", "text": "no ts"}],  # P5 guard
+            dt.datetime(2024, 1, 1), 1,
+        ),
+        "instagram": (
+            [{"id": "p4", "description": "entrypost",
+              "publishedAt": "2024-01-04T10:00:00", "commentsCount": 9},
+             {"error": "not_found", "id": "p5",
+              "publishedAt": "2024-01-05T10:00:00"}],  # P7 guard
+            dt.datetime(2024, 2, 1), 1,
+        ),
+        "facebook": (
+            [{"postFacebookId": "f1", "text": "m1", "time": "2024-02-01T00:00:00",
+              "likes": 4, "shares": 1,
+              "textReferences": [{"short_name": "Bob"}]},
+             {"text": "dropme", "time": "2024-02-03T00:00:00"}],  # P5: no id
+            dt.datetime(2024, 3, 1), 1,
+        ),
+        "feefo": (
+            [{"customer_name": "Flo", "service_review": "sv", "product_review": "pv",
+              "customer_location": "UK",
+              "review_date_raw": "Date of purchase: 05/03/2025"}],
+            dt.datetime(2025, 4, 1), 1,
+        ),
+        "google_maps": (
+            [{"name": "Gil", "stars": 4.5, "text": "nice",
+              "publishedAtDate": "2024-05-01T12:00:00Z", "reviewUrl": "gm1"}],
+            dt.datetime(2024, 6, 1), 1,
+        ),
+    }
+
+    for platform, (payloads, as_of, want_n) in cases.items():
+        feed = tmp_path / f"feed_{platform}"
+        feed.mkdir()
+        (feed / "page_0000.jsonl").write_text(
+            "\n".join(_json.dumps(p) for p in payloads)
+        )
+        sink = str(tmp_path / f"sink_{platform}")
+        n = ingest_feed(spark, platform, str(feed), sink, state, tenant, as_of)
+        assert n == want_n, platform
+        assert ingest_feed(spark, platform, str(feed), sink, state, tenant, as_of) == 0
+        assert state.get(9, platform) == as_of
+
+
+def test_feed_tolerates_corrupt_json_lines(spark, tmp_path):
+    """Malformed payload lines: from_json yields NULL structs, the
+    null-guard filters drop them, valid lines land — log-and-continue
+    (the reference's defensive posture, SURVEY §5.1) without a crash."""
+    import json as _json
+
+    from backend_etl_spark.ingest.feed_pipeline import ingest_feed
+    from backend_etl_spark.sink import WatermarkStore
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "page_0000.jsonl").write_text(
+        "\n".join(
+            [
+                _json.dumps({"id": "t1", "text": "ok",
+                             "createdAt": "Mon Nov 13 22:13:20 +0000 2023"}),
+                "{not valid json at all",
+                '["wrong shape"]',
+            ]
+        )
+    )
+    state = WatermarkStore(spark, str(tmp_path / "wm"))
+    n = ingest_feed(
+        spark, "twitter", str(feed), str(tmp_path / "sink"), state,
+        {"id": 1, "company_name": "Acme"}, dt.datetime(2024, 1, 1),
+    )
+    assert n == 1
