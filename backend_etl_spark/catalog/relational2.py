@@ -693,3 +693,102 @@ def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("months_to_y2k"),
     )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+    SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1, 12) AS bucket,
+           count(*)                                  AS n,
+           round(min(o_totalprice), 2)               AS lo,
+           round(max(o_totalprice), 2)               AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (12 × 50k buckets, top-clamped) — the
+    single-shuffle distribution profile; bucket id is map-side
+    arithmetic, portable across engines."""
+    tune(spark)
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint") + 1, F.lit(12)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_quantile_family",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_quantile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p25/p50/p90/p99) per group — the
+    latency-percentile aggregation shape. Exact percentile is a full
+    sort-based agg; at scale swap in approx_percentile and accept the
+    documented error bound (see agg_approx_count_distinct)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(q)), 2).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.50, 0.90, 0.99)
+        ]
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(qty, 2)          AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100) big
+      JOIN orders   ON o_orderkey = big.l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving a
+    customer join, top-50 by price. The aggregate runs FIRST and shrinks
+    the join input (predicate-on-aggregate pushup) — at 100 TB the big
+    side entering the join is |qualifying orders|, not |lineitem|."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
