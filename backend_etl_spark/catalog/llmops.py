@@ -559,3 +559,66 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", rolling_hash(F.col("text")).alias("roll_hash")
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from LSH candidate pairs: iterative min-label
+    propagation (the distributed connected-components recipe) until
+    fixpoint — cluster_id = min doc id in the component; keep that id,
+    drop the rest. The oracle computes the same components via a
+    recursive CTE (transitive closure + min)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    return dedup.cluster_components(pairs, docs.select("doc_id"), "doc_id")
+
+
+@register(
+    "sentiment_lexicon",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter(t, x -> list_contains(
+               ['good','great','fast','love','best','easy','nice'], x))) AS BIGINT)
+               AS pos_hits,
+             CAST(len(list_filter(t, x -> list_contains(
+               ['bad','slow','worst','hate','bug','broken','hard'], x))) AS BIGINT)
+               AS neg_hits,
+             len(t) AS n
+      FROM toks)
+    SELECT doc_id, pos_hits, neg_hits,
+           round((pos_hits - neg_hits) * 1.0 / n, 6) AS sentiment,
+           CASE WHEN round((pos_hits - neg_hits) * 1.0 / n, 6) > 0 THEN 'positive'
+                WHEN round((pos_hits - neg_hits) * 1.0 / n, 6) < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_class
+    FROM hits
+    """,
+)
+def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring — the reference's planned
+    inference/sentiment.py stage (0-byte intent, SURVEY §2.12 D3) as a
+    deterministic UDF-free expression; the model path swaps in an
+    Arrow-batched pandas UDF with the same output schema."""
+    tune(spark)
+    from backend_etl_spark.operators.textops import sentiment_score
+
+    return sentiment_score(load_table(spark, sf_dir, "documents"))

@@ -219,3 +219,67 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         sim = bit if sim is None else sim + bit
     return votes.select(F.col(id_col), sim.cast("long").alias("simhash16"))
+
+
+def cluster_components(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over candidate pairs: every doc gets the MIN
+    doc id reachable through the pair graph as its cluster id — turning
+    LSH candidate PAIRS into dedup CLUSTERS with a canonical
+    representative (keep min id, drop the rest).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the smaller label; converges in O(graph diameter)
+    rounds (near-dup graphs are shallow — duplicates form small dense
+    cliques). Each round is one broadcast-or-shuffle join + one
+    aggregate; the driver loop only checks a 1-row convergence count, so
+    the data never leaves the cluster. This is the standard large-scale
+    CC recipe (label propagation), not a driver-side union-find.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # labels flowing across edges, PLUS hub links (label ↔ node from
+        # the current labeling): once any member learns the component
+        # min, the hub spreads it to all members next round — pointer-
+        # doubling-style O(log diameter) convergence instead of
+        # O(diameter) (a 25-hop chain of near-dups converges in ~5
+        # rounds, not 25)
+        hub = labels.select(F.col("label").alias("src"), F.col("node").alias("dst"))
+        aug = edges.unionByName(hub).unionByName(
+            hub.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        incoming = (
+            aug.join(labels, aug.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        # localCheckpoint truncates the per-round lineage — without it
+        # the iterated plan grows exponentially and planning, not
+        # execution, becomes the bottleneck (on a cluster use
+        # checkpoint(dir) for fault tolerance instead)
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -143,3 +143,30 @@ def rolling_hash(col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
     )
+
+
+#: tiny sentiment lexicon — the reference's planned inference/sentiment.py
+#: stage (0 bytes, intent only) realized as a deterministic lexicon score;
+#: swapping in a model = replacing this expression with a pandas_udf batch.
+POSITIVE_WORDS = ["good", "great", "fast", "love", "best", "easy", "nice"]
+NEGATIVE_WORDS = ["bad", "slow", "worst", "hate", "bug", "broken", "hard"]
+
+
+def sentiment_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Lexicon sentiment: (pos_hits − neg_hits) / tokens in [−1, 1] with
+    a 3-way class. UDF-free; the production path swaps the lexicon
+    expression for an Arrow-batched model UDF with the same schema."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    pos = stopword_hits(toks, POSITIVE_WORDS)
+    neg = stopword_hits(toks, NEGATIVE_WORDS)
+    score = F.round((pos - neg) / F.size(toks), 6)
+    return df.select(
+        F.col(id_col),
+        pos.cast("bigint").alias("pos_hits"),
+        neg.cast("bigint").alias("neg_hits"),
+        score.alias("sentiment"),
+        F.when(score > 0, "positive")
+        .when(score < 0, "negative")
+        .otherwise("neutral")
+        .alias("sentiment_class"),
+    )
