@@ -48,7 +48,13 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q12_priority_split",
     "q14_promo_revenue",
+    "q18_large_volume_customers",
     "skew_salted_agg_events",
+    "rollup_multigrain_events",
+    "session_window_builtin",
+    "agg_quantile_family",
+    "sentiment_lexicon",
+    "dedup_cluster_components",
 ]
 
 
