@@ -792,3 +792,39 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(50)
     )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL')  AS returnflag,
+           coalesce(l_linestatus, 'ALL')  AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                                          AS gid,
+           count(*)                       AS n,
+           round(sum(l_quantity), 2)      AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() indicators — subtotal rows are explicitly
+    distinguishable from data rows whose key happens to be NULL (the
+    correct way to consume rollup output downstream)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )

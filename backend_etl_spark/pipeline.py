@@ -89,3 +89,31 @@ def run_incremental(
             )
             state.advance(landed)
     return counts
+
+
+def health(spark: SparkSession) -> dict:
+    """Session liveness probe — the reference's GET /health (app.py:6-8).
+    Returns enough to confirm the session executes work, not just that
+    the process is up."""
+    probe = spark.range(1).count()
+    return {
+        "status": "ok" if probe == 1 else "degraded",
+        "spark_version": spark.version,
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+
+
+def fetch_now(
+    spark: SparkSession,
+    source: DataFrame,
+    sink_path: str,
+    state: WatermarkStore,
+    as_of: dt.datetime,
+) -> dict:
+    """Run the whole pipeline for ALL tenants, now, synchronously, and
+    return a summary — the reference's POST /fetch-now intent
+    (app.py:10-14, whose fetch_all_companies import dangles; SURVEY
+    §3.3). One incremental tick covers every tenant: catchup for
+    never-fetched, general for stale."""
+    counts = run_incremental(spark, source, sink_path, state, as_of)
+    return {"appended": counts, "as_of": as_of.isoformat()}

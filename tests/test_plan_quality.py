@@ -139,3 +139,43 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         )
     )
     assert quality.num_shuffles(plain) == 2
+
+
+def test_join_strategy_hints_take_effect(spark, sf_dir):
+    """Strategy control: the same join planned as broadcast, shuffle-hash,
+    and sort-merge via hints — the knobs used when AQE's choice is wrong
+    for a known workload."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cond = F.col("l_orderkey") == F.col("o_orderkey")
+
+    assert quality.count_occurrences(
+        li.join(o.hint("broadcast"), cond), r"BroadcastHashJoin"
+    )
+    assert quality.count_occurrences(
+        li.join(o.hint("shuffle_hash"), cond), r"ShuffledHashJoin"
+    )
+    assert quality.count_occurrences(
+        li.hint("merge").join(o.hint("merge"), cond), r"SortMergeJoin"
+    )
+
+
+def test_repartition_by_range_orders_output(spark, sf_dir):
+    """Range partitioning + in-partition sort: globally ordered layout
+    (the write pattern for time-ordered parquet that scan-prunes well)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+    )
+    assert quality.count_occurrences(o, r"rangepartitioning") >= 1
+    # partition boundaries respect the range split: every partition's max
+    # <= next partition's min
+    import pandas as pd  # noqa: F401
+
+    parts = o.select("o_orderdate").rdd.glom().map(
+        lambda rows: (rows[0][0], rows[-1][0]) if rows else None
+    ).collect()
+    bounds = [b for b in parts if b]
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2

@@ -133,3 +133,27 @@ def test_compact_sink_preserves_rows(spark, tmp_path):
     # sink still dedups correctly after the rewrite
     dup = spark.createDataFrame([(0, "dup")], "k bigint, payload string")
     assert write_idempotent(dup, path, ["k"]) == 0
+
+
+def test_health_and_fetch_now(spark, sf_dir, tmp_path):
+    import datetime as dt2
+
+    from backend_etl_spark.pipeline import fetch_now, health
+    from backend_etl_spark.sink import WatermarkStore
+    from backend_etl_spark.sources.loader import load_table
+
+    h = health(spark)
+    assert h["status"] == "ok" and h["parallelism"] >= 1
+
+    ev = load_table(spark, sf_dir, "events")
+    state = WatermarkStore(spark, str(tmp_path / "wm"))
+    out = fetch_now(
+        spark, ev, str(tmp_path / "sink"), state, dt2.datetime(2030, 1, 1)
+    )
+    assert out["appended"]["catchup"] == 0  # 90-day window in 2030: no rows
+    # with a live as_of inside the data range, rows land
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    out2 = fetch_now(spark, ev, str(tmp_path / "sink2"), state2 := WatermarkStore(
+        spark, str(tmp_path / "wm2")), mx)
+    assert out2["appended"]["catchup"] > 0
+    assert state2.read().count() > 0
