@@ -166,3 +166,51 @@ def ingest_twitter_feed(
         as_of,
         max_items,
     )
+
+
+def stream_ingest_feed(
+    spark: SparkSession,
+    platform: str,
+    feed_dir: str,
+    sink_path: str,
+    state: WatermarkStore,
+    tenant: dict,
+    as_of: dt.datetime,
+    checkpoint_dir: str,
+) -> None:
+    """The generic tick as a true Structured Streaming job: the
+    cursor-as-offset stream reader consumes new feed pages, each
+    micro-batch runs the same projection + window + idempotent sink +
+    watermark advance via foreachBatch. The checkpoint replaces the
+    reference's hand-rolled cursor bookkeeping (reddit_scraper.py:57-125)
+    — a killed run resumes from the committed page offset, and
+    redelivered pages are absorbed by the sink's natural-key dedup
+    (effectively-once, SURVEY §2.10 W5)."""
+    spec = FEEDS[platform]
+    spark.dataSource.register(FixtureFeedDataSource)
+    watermark = state.get(tenant["id"], platform)
+    since = watermark or (as_of - CATCHUP_WINDOW)
+
+    def _tick(batch: DataFrame, _batch_id: int) -> None:
+        raw = batch.select(F.from_json("item", spec.raw_ddl).alias("r")).select("r.*")
+        projected = spec.project(raw, tenant, F.lit(as_of))
+        if spec.event_ts is not None:
+            ts = spec.event_ts()
+            projected = projected.where((ts > F.lit(since)) & (ts <= F.lit(as_of)))
+        n = write_idempotent(projected, sink_path, schemas.DEDUP_KEYS[spec.table])
+        if n:
+            landed = batch.sparkSession.createDataFrame(
+                [(tenant["id"], platform, as_of)], WatermarkStore.SCHEMA
+            )
+            state.advance(landed)
+
+    (
+        spark.readStream.format("fixture_feed")
+        .option("path", feed_dir)
+        .load()
+        .writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -175,3 +175,89 @@ def test_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
         gn, gsv = got[key]
         assert gn == n, key
         assert abs(gsv - sv) < 1e-6, key  # summation-order tolerance
+
+
+def test_stream_ingest_feed_end_to_end(spark, tmp_path):
+    """Streaming generic tick: drain a twitter feed page, append a page,
+    re-drain — only new items land; a fresh checkpoint redelivers
+    everything but the sink dedup absorbs it."""
+    import datetime as dt2
+    import json as _json
+
+    from backend_etl_spark.ingest.feed_pipeline import stream_ingest_feed
+    from backend_etl_spark.sink import WatermarkStore
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    state = WatermarkStore(spark, str(tmp_path / "wm"))
+    tenant = {"id": 3, "company_name": "Acme"}
+    as_of = dt2.datetime(2024, 1, 1)
+
+    (feed / "page_0000.jsonl").write_text(
+        _json.dumps({"id": "t1", "text": "hi",
+                     "createdAt": "Mon Nov 13 22:13:20 +0000 2023"})
+    )
+    stream_ingest_feed(spark, "twitter", str(feed), sink, state, tenant, as_of, ckpt)
+    assert spark.read.parquet(sink).count() == 1
+    assert state.get(3, "twitter") == as_of
+
+    # next page: one new tweet (inside the advanced watermark window) +
+    # one redelivered old duplicate (outside it — window-filtered)
+    (feed / "page_0001.jsonl").write_text(
+        "\n".join([
+            _json.dumps({"id": "t2", "text": "new",
+                         "createdAt": "Mon Jan 15 00:00:00 +0000 2024"}),
+            _json.dumps({"id": "t1", "text": "hi",
+                         "createdAt": "Mon Nov 13 22:13:20 +0000 2023"}),
+        ])
+    )
+    stream_ingest_feed(
+        spark, "twitter", str(feed), sink, state, tenant, dt2.datetime(2024, 2, 1), ckpt
+    )
+    assert spark.read.parquet(sink).count() == 2
+
+    # fresh checkpoint AND fresh watermark state: t2 is redelivered
+    # inside the catchup window — the sink's natural-key dedup absorbs it
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    fresh_state = WatermarkStore(spark, str(tmp_path / "wm2"))
+    stream_ingest_feed(
+        spark, "twitter", str(feed), sink, fresh_state, tenant,
+        dt2.datetime(2024, 3, 1), ckpt,
+    )
+    assert spark.read.parquet(sink).count() == 2
+
+
+def test_stream_throttled_microbatches(spark, sf_dir, tmp_path):
+    """W8 rate-limit analog: maxFilesPerTrigger bounds each micro-batch;
+    an availableNow drain still consumes everything, in bounded steps."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(3):  # three source files
+        ev.limit(50).withColumn("event_id", F.col("event_id") + i * 1000).write.mode(
+            "append"
+        ).parquet(src)
+
+    batches = []
+
+    def _count(batch, bid):
+        batches.append(batch.count())
+
+    (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_count)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert sum(batches) == 150
+    assert len(batches) >= 3  # bounded micro-batches, not one big gulp
