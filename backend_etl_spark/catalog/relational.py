@@ -979,3 +979,43 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "asof_forward_next_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, min(c.ts) AS next_click_ts
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+     AND c.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase gets the next click
+    within 1 hour (pandas merge_asof 'forward' semantics). Same
+    union + running-carry plan as the backward variant — one shuffle,
+    no pair materialization; the oracle is the naive O(pairs) form."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=[],
+        direction="forward",
+        tolerance_s=3600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("next_click_ts")
+    )

@@ -153,3 +153,21 @@ class WatermarkStore:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
+
+
+def apply_retention(spark: SparkSession, path: str, keep) -> tuple[int, int]:
+    """Retention / targeted delete on an append-only parquet sink: keep
+    only rows matching ``keep``, rewriting atomically (write-new+swap).
+    The GDPR-delete / TTL maintenance operator — append-only ingest plus
+    periodic rewrite-excluding is the parquet-native answer to DELETE
+    (an ACID table format turns this into a metadata operation).
+    Returns (rows_before, rows_after)."""
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.where(keep)
+    tmp = f"{path}.retain-{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = spark.read.parquet(path).count()
+    return before, after

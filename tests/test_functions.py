@@ -136,3 +136,43 @@ def test_multimodal_decode_stubs_raise():
     for stub in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
         with _pytest.raises(NotImplementedError):
             stub(b"\x00")
+
+
+def test_asof_forward_ties_and_tolerance(spark):
+    import datetime as dt
+
+    from backend_etl_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01 10:00:00")), (2, t("2024-01-01 12:00:00"))],
+        "k bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:00:00"), "tie"),      # equal ts: >= includes it
+            (1, t("2024-01-01 11:00:00"), "later"),
+            (2, t("2024-01-01 14:00:01"), "too-far"),  # 2h1s > 2h tolerance
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    out = {
+        r["k"]: (r["asof_ts"], r["asof_tag"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["tag"], direction="forward", tolerance_s=7200,
+        ).collect()
+    }
+    assert out[1] == (t("2024-01-01 10:00:00"), "tie")
+    assert out[2] == (None, None)
+
+    # backward on the same data: k=1 at 10:00 matches the tie too
+    back = {
+        r["k"]: r["asof_tag"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["tag"], direction="backward",
+        ).collect()
+    }
+    assert back[1] == "tie"
+    assert back[2] is None  # no right row <= 12:00 for k=2... except none exist

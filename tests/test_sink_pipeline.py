@@ -157,3 +157,18 @@ def test_health_and_fetch_now(spark, sf_dir, tmp_path):
         spark, str(tmp_path / "wm2")), mx)
     assert out2["appended"]["catchup"] > 0
     assert state2.read().count() > 0
+
+
+def test_apply_retention(spark, tmp_path):
+    from backend_etl_spark.sink import apply_retention, write_idempotent
+
+    path = str(tmp_path / "rsink")
+    df = spark.createDataFrame(
+        [(i, "old" if i < 6 else "new") for i in range(10)], "k bigint, age string"
+    )
+    write_idempotent(df, path, ["k"])
+    before, after = apply_retention(spark, path, F.col("age") == "new")
+    assert (before, after) == (10, 4)
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {6, 7, 8, 9}
+    # deleted keys may re-enter (retention is not a tombstone)
+    assert write_idempotent(df.where("k = 0"), path, ["k"]) == 1
