@@ -622,3 +622,92 @@ def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_etl_spark.operators.textops import sentiment_score
 
     return sentiment_score(load_table(spark, sf_dir, "documents"))
+
+
+_MD5_U = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+)
+
+
+@register(
+    "curation_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_MD5_U} < 0.25
+    """,
+)
+def curation_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% sample chosen by id hash — identical rows every run, every
+    engine, any partitioning (the reproducible substitute for rand()
+    sampling in a training-data pipeline)."""
+    tune(spark)
+    from backend_etl_spark.operators.curation import deterministic_sample
+
+    return deterministic_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id",
+        0.25,
+    )
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_MD5_U}, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, picked by hash order — deterministic
+    stratified sampling against majority-class domination."""
+    tune(spark)
+    from backend_etl_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        20,
+    )
+
+
+@register(
+    "curation_token_budget_pack",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             round(len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
+                   / len(string_split_regex(trim(text), '\s+')), 6)     AS quality
+      FROM documents)
+    SELECT doc_id, lang, n_tokens, quality
+    FROM (SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+          FROM q)
+    WHERE cum <= 20000
+    """,
+)
+def curation_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 20k-token training budget with the highest-quality docs
+    (distinct-token ratio, id tie-break): global quality sort + running
+    token sum. At scale, shard the budget per stratum first (see
+    operators/curation.py)."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+    from backend_etl_spark.operators.curation import token_budget_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    prepared = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("quality"),
+    )
+    return token_budget_pack(prepared, "doc_id", "n_tokens", F.col("quality"), 20000)
