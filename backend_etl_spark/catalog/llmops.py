@@ -711,3 +711,43 @@ def curation_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("quality"),
     )
     return token_budget_pack(prepared, "doc_id", "n_tokens", F.col("quality"), 20000)
+
+
+@register(
+    "grouped_zscore_events",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             avg(value)         AS mu,
+             stddev_samp(value) AS sigma,
+             count(*)           AS n
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           CASE WHEN s.n > 1 AND s.sigma > 0
+                THEN round((e.value - s.mu) / s.sigma, 6)
+                ELSE 0.0 END AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    """,
+)
+def grouped_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas transform via applyInPandas (grouped-map): each
+    user's values z-score-normalized inside an Arrow batch — the
+    per-tenant custom-transform surface (SURVEY §2.12 D1/D3, the shape a
+    per-group model inference takes). Oracle recomputes relationally."""
+    tune(spark)
+    import pandas as pd
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        sigma = pdf["value"].std(ddof=1)
+        if len(pdf) > 1 and sigma > 0:
+            z = ((pdf["value"] - pdf["value"].mean()) / sigma).round(6)
+        else:
+            z = pd.Series(0.0, index=pdf.index)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _z, "event_id bigint, user_id bigint, zscore double"
+    )

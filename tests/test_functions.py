@@ -176,3 +176,20 @@ def test_asof_forward_ties_and_tolerance(spark):
     }
     assert back[1] == "tie"
     assert back[2] is None  # no right row <= 12:00 for k=2... except none exist
+
+
+def test_approx_aggregates_within_error_bounds(spark, sf_dir):
+    """The approximate aggregates (rows-only in the oracle harness) are
+    bounded here against their exact counterparts."""
+    from backend_etl_spark.sources.loader import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = orders.select(F.approx_count_distinct("o_custkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
+
+    exact_p50 = orders.select(F.expr("percentile(o_totalprice, 0.5)")).collect()[0][0]
+    approx_p50 = orders.select(
+        F.percentile_approx("o_totalprice", 0.5, 10000)
+    ).collect()[0][0]
+    assert abs(approx_p50 - exact_p50) / exact_p50 < 0.02
