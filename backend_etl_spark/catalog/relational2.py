@@ -828,3 +828,47 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "unpivot_reaction_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+             CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS high,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS BIGINT) AS low
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, priority, n
+    FROM wide
+    UNPIVOT (n FOR priority IN (urgent, high, low))
+    """,
+)
+def unpivot_reaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of pivot, used to conform
+    the reference's per-column reaction counters (linkedin_posts:
+    like/support/love/insight/celebrate, SURVEY §1.1) into a tidy
+    (key, metric, value) stream. Built on DataFrame.unpivot."""
+    tune(spark)
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(alias)
+                for p, alias in [
+                    ("1-URGENT", "urgent"),
+                    ("2-HIGH", "high"),
+                    ("5-LOW", "low"),
+                ]
+            ]
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["urgent", "high", "low"],
+        variableColumnName="priority",
+        valueColumnName="n",
+    )
