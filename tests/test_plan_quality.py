@@ -179,3 +179,34 @@ def test_repartition_by_range_orders_output(spark, sf_dir):
     bounds = [b for b in parts if b]
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir, tmp_path):
+    """AQE is live: a 32-partition shuffle over small data lands as a
+    handful of output files, not 32 near-empty ones."""
+    out = str(tmp_path / "out")
+    (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .write.parquet(out)
+    )
+    import os
+
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert 1 <= n_files < 8  # 32 without AQE partition coalescing
+
+
+def test_error_paths():
+    import pytest as _pytest
+
+    from backend_etl_spark.ingest.feed_pipeline import FEEDS
+    from backend_etl_spark.operators.asof import asof_join
+    from backend_etl_spark.sources.loader import load_table as lt
+
+    with _pytest.raises(KeyError):
+        FEEDS["myspace"]
+    with _pytest.raises(KeyError):
+        lt(None, "/tmp", "nonexistent_table")
+    with _pytest.raises(ValueError):
+        asof_join(None, None, "k", "ts", "ts", [], direction="sideways")
