@@ -243,9 +243,13 @@ def cluster_components(
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
-    labels = all_ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # only nodes that occur in a candidate pair can change label; the
+    # (vast) isolated majority keeps label = self and skips the loop —
+    # the iteration touches O(|near-dup docs|), not O(|corpus|)
+    every = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    edge_nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = every.join(edge_nodes, "node", "semi").localCheckpoint(eager=True)
+    isolated = every.join(edge_nodes, "node", "anti")
     for _ in range(max_iter):
         # labels flowing across edges, PLUS hub links (label ↔ node from
         # the current labeling): once any member learns the component
@@ -264,22 +268,31 @@ def cluster_components(
         # localCheckpoint truncates the per-round lineage — without it
         # the iterated plan grows exponentially and planning, not
         # execution, becomes the bottleneck (on a cluster use
-        # checkpoint(dir) for fault tolerance instead)
-        new_labels = (
+        # checkpoint(dir) for fault tolerance instead). The convergence
+        # signal rides the SAME materialization via Observation — one
+        # job per round, no separate count.
+        from pyspark.sql import Observation
+
+        folded = (
             labels.unionByName(incoming)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
         )
-        labels = new_labels
-        if changed == 0:
+        obs = Observation()
+        with_flag = (
+            folded.alias("n")
+            .join(labels.alias("o"), "node")
+            .select(
+                F.col("node"),
+                F.col("n.label").alias("label"),
+                (F.col("n.label") != F.col("o.label")).cast("int").alias("__chg"),
+            )
+            .observe(obs, F.sum("__chg").alias("changed"))
+            .select("node", "label")
+        )
+        labels = with_flag.localCheckpoint(eager=True)
+        if not obs.get["changed"]:
             break
-    return labels.select(
+    return labels.unionByName(isolated).select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
