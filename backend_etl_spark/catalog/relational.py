@@ -1019,3 +1019,34 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("asof_ts").alias("next_click_ts")
     )
+
+
+@register(
+    "range_join_binned_global",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+    SELECT p.event_id, CAST(count(c.ts) AS BIGINT) AS n_any_clicks_5m
+    FROM (SELECT event_id, ts FROM ev WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT ts FROM ev WHERE event_type = 'click') c
+      ON c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    GROUP BY p.event_id
+    """,
+)
+def range_join_binned_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equality key (any click within 5 min before
+    each purchase): time-bin bucketing replicates each click into 2
+    buckets and turns the pure inequality join into a hash equi-join +
+    band filter — bounded 2x fan-out instead of the cartesian fallback.
+    The oracle is the naive inequality form (DuckDB IEJoin handles it)."""
+    tune(spark)
+    from backend_etl_spark.operators.interval import binned_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(F.col("ts").alias("c_ts"))
+    joined = binned_interval_join(p, c, "p_ts", "c_ts", band_s=300, how="left")
+    return joined.groupBy("event_id").agg(
+        F.count("c_ts").cast("bigint").alias("n_any_clicks_5m")
+    )

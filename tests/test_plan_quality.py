@@ -210,3 +210,15 @@ def test_error_paths():
         lt(None, "/tmp", "nonexistent_table")
     with _pytest.raises(ValueError):
         asof_join(None, None, "k", "ts", "ts", [], direction="sideways")
+
+
+def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The binned interval join must plan as a hash equi-join on the
+    bucket id — never BroadcastNestedLoop/cartesian."""
+    from backend_etl_spark.catalog import REGISTRY
+
+    df = REGISTRY["range_join_binned_global"].fn(spark, sf_dir)
+    txt = quality.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert not quality.has_cartesian(df)
+    assert "HashJoin" in txt
