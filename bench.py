@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "topk_orders_by_price",
     "asof_purchase_last_click",
     "range_join_clicks_before_purchase",
+    "range_join_binned_global",
     "events_json_props",
     "text_stats",
     "dedup_minhash_signatures",
