@@ -185,3 +185,33 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= 0.4)
     )
+
+
+@register(
+    "map_ops_event_attrs",
+    oracle="""
+    WITH kv AS (
+      SELECT 'type' AS attr, event_type AS val FROM events
+      UNION ALL
+      SELECT 'bucket', CAST(user_id % 5 AS VARCHAR) FROM events
+    )
+    SELECT attr, val, count(*) AS n
+    FROM kv GROUP BY attr, val
+    """,
+)
+def map_ops_event_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed attribute column built in-plan (create_map), exploded to
+    (key, value) rows and aggregated — the MapType surface (the engine's
+    answer to the reference's transient dict payloads when keys are
+    dynamic rather than a fixed struct)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("bucket"), (F.col("user_id") % 5).cast("string"),
+    )
+    return (
+        ev.select(F.explode(m).alias("attr", "val"))
+        .groupBy("attr", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
