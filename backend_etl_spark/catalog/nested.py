@@ -215,3 +215,47 @@ def map_ops_event_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("attr", "val")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "array_setops_token_halves",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')[1:CAST(floor(len(string_split_regex(trim(text), '\s+')) / 2) AS INT)]) AS first_half,
+             list_distinct(string_split_regex(trim(text), '\s+')[CAST(floor(len(string_split_regex(trim(text), '\s+')) / 2) AS INT) + 1:]) AS second_half
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(first_half) AS BIGINT)  AS n_first,
+           CAST(len(second_half) AS BIGINT) AS n_second,
+           CAST(len(list_intersect(first_half, second_half)) AS BIGINT) AS n_inter,
+           CAST(len(list_distinct(list_concat(first_half, second_half))) AS BIGINT)
+                                            AS n_union,
+           round(len(list_intersect(first_half, second_half)) * 1.0
+                 / len(list_distinct(list_concat(first_half, second_half))), 6)
+                                            AS halves_jaccard
+    FROM t
+    """,
+)
+def array_setops_token_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect / union / distinct) — vocabulary
+    overlap between each document's halves, a self-repetition signal for
+    quality filtering. All Catalyst array functions, no explode."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    half = F.floor(F.size(toks) / 2).cast("int")
+    first = F.array_distinct(F.slice(toks, 1, half))
+    second = F.array_distinct(F.slice(toks, half + 1, F.size(toks) - half))
+    inter = F.array_intersect(first, second)
+    uni = F.array_distinct(F.concat(first, second))
+    return docs.select(
+        "doc_id",
+        F.size(first).cast("bigint").alias("n_first"),
+        F.size(second).cast("bigint").alias("n_second"),
+        F.size(inter).cast("bigint").alias("n_inter"),
+        F.size(uni).cast("bigint").alias("n_union"),
+        F.round(F.size(inter) / F.size(uni), 6).alias("halves_jaccard"),
+    )
