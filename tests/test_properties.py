@@ -137,3 +137,80 @@ def test_salted_agg_matches_direct(spark, rows):
         for r in salted_count_sum(df, ["k"], "v").collect()
     }
     assert salted == direct
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1, max_size=12
+    )
+)
+def test_shingle_count_property(spark, words):
+    """#3-shingles == max(0, n_tokens - 2), always."""
+    from backend_etl_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    (n,) = df.select(F.size(shingles(F.col("text"))).alias("n")).collect()[0]
+    assert n == max(0, len(words) - 2)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    st.randoms(),
+)
+def test_simhash_order_and_duplication_invariant(spark, words, rnd):
+    """SimHash is computed over DISTINCT tokens: permuting the tokens and
+    duplicating some must not change the hash."""
+    from backend_etl_spark.operators.dedup import simhash16
+
+    shuffled = list(words)
+    rnd.shuffle(shuffled)
+    shuffled = shuffled + [rnd.choice(words)]  # duplicate one token
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(shuffled))], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["simhash16"] for r in simhash16(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+
+
+@SLOW
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True))
+def test_md5_uniform_bounds_and_stability(spark, ids):
+    """md5_uniform is in [0, 1) and stable across evaluations."""
+    from backend_etl_spark.operators.curation import md5_uniform
+
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    a = {r["id"]: r["u"] for r in df.select("id", md5_uniform("id").alias("u")).collect()}
+    b = {r["id"]: r["u"] for r in df.select("id", md5_uniform("id").alias("u")).collect()}
+    assert a == b
+    assert all(0.0 <= v < 1.0 for v in a.values())
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["en", "de", "fr"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 5),
+)
+def test_stratified_sample_sizes(spark, rows, k):
+    """Exactly min(k, |stratum|) rows per stratum, and a subset of input."""
+    from collections import Counter
+
+    from backend_etl_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    out = stratified_sample(df, "id", "lang", k).collect()
+    want = Counter(lang for _, lang in rows)
+    got = Counter(r["lang"] for r in out)
+    assert got == Counter({lang: min(k, n) for lang, n in want.items()})
+    assert {(r["id"], r["lang"]) for r in out} <= set(rows)
