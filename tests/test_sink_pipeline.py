@@ -172,3 +172,24 @@ def test_apply_retention(spark, tmp_path):
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {6, 7, 8, 9}
     # deleted keys may re-enter (retention is not a tombstone)
     assert write_idempotent(df.where("k = 0"), path, ["k"]) == 1
+
+
+def test_sink_schema_evolution_merge(spark, tmp_path):
+    """Source drift tolerance at the storage layer: a batch with a new
+    column appends cleanly; mergeSchema reads unify old and new rows
+    (old rows NULL for the added column) and dedup still works across
+    the schema change."""
+    from backend_etl_spark.sink import write_idempotent
+
+    path = str(tmp_path / "esink")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, payload string")
+    assert write_idempotent(v1, path, ["k"]) == 2
+
+    v2 = spark.createDataFrame(
+        [(2, "dup", "x"), (3, "c", "y")], "k bigint, payload string, extra string"
+    )
+    assert write_idempotent(v2, path, ["k"]) == 1  # k=2 deduped across schemas
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    rows = {r["k"]: (r["payload"], r["extra"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "y")}
