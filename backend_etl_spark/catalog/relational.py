@@ -1112,3 +1112,42 @@ def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+    s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk)                    AS nationkey,
+           CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (customer vs supplier
+    presence per nation) — NULL-completing both directions, zero-filled.
+    Pre-aggregating BEFORE the outer join keeps the join input at
+    |nations|, not |customers|+|suppliers|."""
+    tune(spark)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
+        )
+    )
