@@ -222,3 +222,17 @@ def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt
     assert not quality.has_cartesian(df)
     assert "HashJoin" in txt
+
+
+def test_spread_noop_when_already_wide(spark):
+    """spread() must not add a shuffle when upstream parallelism is
+    already sufficient (the 100 TB no-op guarantee)."""
+    from backend_etl_spark.operators.partitioning import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 4)
+    assert spread(wide).rdd.getNumPartitions() == target + 4  # untouched
+
+    narrow = spark.range(100).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == target
+    assert spread(narrow, "id").rdd.getNumPartitions() == target
