@@ -872,3 +872,60 @@ def unpivot_reaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="priority",
         valueColumnName="n",
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS p
+               FROM orders WHERE o_orderkey < 500),
+    b AS (SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS p
+          FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000)
+    SELECT
+      CAST((SELECT count(*) FROM a JOIN b ON a.p = b.p) AS BIGINT)
+        AS eq_matches,
+      CAST((SELECT count(*) FROM a JOIN b ON a.p IS NOT DISTINCT FROM b.p) AS BIGINT)
+        AS null_safe_matches
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality (<=> / IS NOT DISTINCT FROM) vs plain `=` in a
+    join: plain equality drops NULL keys, null-safe matches them — the
+    exact semantic choice our dedup keys make for the reference's
+    nullable composite keys (SURVEY §7.3: dropDuplicates treats NULLs as
+    equal, encoded in oracles as IS NOT DISTINCT FROM)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("p")
+    a = orders.where(F.col("o_orderkey") < 500).select("o_orderkey", p)
+    b = orders.where(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+    ).select("o_orderkey", p)
+    eq = a.alias("a").join(b.alias("b"), F.col("a.p") == F.col("b.p")).count()
+    nse = a.alias("a").join(b.alias("b"), F.col("a.p").eqNullSafe(F.col("b.p"))).count()
+    return spark.createDataFrame(
+        [(eq, nse)], "eq_matches bigint, null_safe_matches bigint"
+    )
+
+
+_NOT_IN_TRAP = """
+    SELECT
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    UNION ALL SELECT NULL)) AS BIGINT)
+        AS not_in_with_null,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+        AS not_exists
+"""
+
+
+@register("subquery_not_in_null_trap", oracle=_NOT_IN_TRAP)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap: a NULL in the subquery makes NOT IN return
+    zero rows (three-valued logic) while NOT EXISTS gives the intended
+    anti-join — same SQL text through both engines, same two counts."""
+    tune(spark)
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_NOT_IN_TRAP)
