@@ -1151,3 +1151,36 @@ def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
         )
     )
+
+
+@register(
+    "catalog_table_inventory",
+    oracle="""
+    SELECT 'region' AS table_name, count(*) AS n FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def catalog_table_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count inventory of every source table in one query — the
+    cheap full-catalog smoke (each count is a parquet-metadata read,
+    no data scan)."""
+    tune(spark)
+    from backend_etl_spark.sources.loader import TABLES
+
+    out = None
+    for t in TABLES:
+        c = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(t).alias("table_name"), "n")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
