@@ -284,6 +284,8 @@ def join_outer_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def agg_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key group-by with count/sum/avg — the basic multi-dimension
+    aggregate (map-side partials, one shuffle)."""
     tune(spark)
     return (
         load_table(spark, sf_dir, "orders")
@@ -305,6 +307,8 @@ def agg_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — expands to a two-phase distinct
+    aggregate; the exact counterpart of approx_count_distinct."""
     tune(spark)
     return (
         load_table(spark, sf_dir, "orders")
@@ -351,6 +355,8 @@ def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 2^2 grouping combinations in
+    one pass (the OLAP cross-tab materialization)."""
     tune(spark)
     return (
         load_table(spark, sf_dir, "orders")
@@ -549,6 +555,8 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_intersect_f_and_o_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics) of two filtered projections —
+    customers appearing in both order-status classes."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -565,6 +573,8 @@ def setop_intersect_f_and_o_customers(spark: SparkSession, sf_dir: str) -> DataF
     """,
 )
 def setop_except_no_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT via subtract — distinct keys present overall but absent
+    from the F class (set-difference anti pattern)."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     return orders.select("o_custkey").subtract(

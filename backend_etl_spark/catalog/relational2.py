@@ -251,6 +251,9 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (case, substr, pad, split, regexp,
+    concat_ws, translate) aligned to DuckDB semantics — the reference's
+    text-mangling surface (F8-F11) generalized."""
     tune(spark)
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
