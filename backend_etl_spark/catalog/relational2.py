@@ -932,3 +932,32 @@ def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_NOT_IN_TRAP)
+
+
+@register(
+    "ansi_safe_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / nullif(l_discount, 0), 4) AS price_per_discount,
+           round(l_quantity / nullif(l_tax, 0), 4)           AS qty_per_tax
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe division: Spark 4 throws on divide-by-zero by
+    default, so explicit try_divide gives the NULL-on-zero semantics the
+    reference's defensive Python (`or 0`, try/except) implied — and that
+    SQL's x / nullif(y, 0) expresses."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0))), 4
+        ).alias("price_per_discount"),
+        F.round(F.try_divide("l_quantity", F.nullif("l_tax", F.lit(0))), 4).alias(
+            "qty_per_tax"
+        ),
+    )
