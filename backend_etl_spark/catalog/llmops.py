@@ -751,3 +751,76 @@ def grouped_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _z, "event_id bigint, user_id bigint, zscore double"
     )
+
+
+@register(
+    "knn_lsh_recall_at_5",
+    oracle=f"""
+    WITH {_COS_CTE},
+    comp AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e),
+    bits AS (SELECT vec_id, i, x, unnest(range(0, 8)) AS j FROM comp),
+    proj AS (
+      SELECT vec_id, j,
+             sum(x * ((ascii(substr(md5(CAST(i AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1)) AS p
+      FROM bits GROUP BY vec_id, j),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN round(p, 6) >= 0
+                           THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+               AS lsh_sig
+      FROM proj GROUP BY vec_id),
+    es AS (SELECT e.vec_id, v, lsh_sig FROM e JOIN sig USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, lsh_sig, v AS qv FROM es WHERE vec_id < 20),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(qv, v) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+                 DESC, e.vec_id) AS rank
+        FROM q, e WHERE e.vec_id != q.query_id)
+      WHERE rank <= 5),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, es.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(qv, v) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+                 DESC, es.vec_id) AS rank
+        FROM q JOIN es ON es.lsh_sig = q.lsh_sig AND es.vec_id != q.query_id)
+      WHERE rank <= 5),
+    hits AS (
+      SELECT b.query_id, count(a.neighbor_id) AS n_hit
+      FROM brute b LEFT JOIN approx a
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id)
+    SELECT round(avg(n_hit / 5.0), 4) AS recall_at_5,
+           CAST(count(*) AS BIGINT)   AS n_queries
+    FROM hits
+    """,
+)
+def knn_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@5 of the LSH-bucketed search
+    against the exact brute-force top-5, averaged over the query set —
+    the evaluation loop that picks n_bits/bands in production. Both
+    pipelines and the recall join are reproduced exactly in the oracle."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+    approx = similarity.lsh_bucket_topk(emb, F.col("vec_id") < 20, k=5)
+    b = brute.select(
+        F.col("query_id").alias("b_q"), F.col("neighbor_id").alias("b_n")
+    )
+    a = approx.select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    hits = (
+        b.join(a, (F.col("b_q") == F.col("a_q")) & (F.col("b_n") == F.col("a_n")), "left")
+        .groupBy("b_q")
+        .agg(F.count("a_n").alias("n_hit"))
+    )
+    return hits.agg(
+        F.round(F.avg(F.col("n_hit") / 5.0), 4).alias("recall_at_5"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+    )
