@@ -824,3 +824,33 @@ def knn_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_hit") / 5.0), 4).alias("recall_at_5"),
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
     )
+
+
+@register(
+    "curation_length_band_filter",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM documents, bounds
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+)
+def curation_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length filter (keep p5..p95): the standard
+    pretraining outlier cut. The two scalar quantiles compute once and
+    broadcast into the filter — one extra tiny aggregate, not a second
+    pass shape."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )
