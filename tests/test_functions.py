@@ -193,3 +193,54 @@ def test_approx_aggregates_within_error_bounds(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.5, 10000)
     ).collect()[0][0]
     assert abs(approx_p50 - exact_p50) / exact_p50 < 0.02
+
+
+def test_binned_interval_join_boundaries(spark):
+    """Band is (left-band, left]: the exact lower bound is excluded, the
+    exact left ts included; bucket-boundary crossings are found."""
+    import datetime as dt
+
+    from backend_etl_spark.operators.interval import binned_interval_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01 10:05:00"))], "lid bigint, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t("2024-01-01 10:00:00")),  # exactly lts - 300s -> excluded
+            (11, t("2024-01-01 10:00:01")),  # just inside
+            (12, t("2024-01-01 10:05:00")),  # exactly lts -> included
+            (13, t("2024-01-01 10:05:01")),  # after -> excluded
+            (14, t("2024-01-01 10:04:59")),  # previous 5-min bucket, inside band
+        ],
+        "rid bigint, rts timestamp",
+    )
+    got = {
+        r["rid"]
+        for r in binned_interval_join(left, right, "lts", "rts", band_s=300, how="inner").collect()
+    }
+    assert got == {11, 12, 14}
+
+    # left join keeps the left row even with zero matches
+    far = spark.createDataFrame([(99, t("2020-01-01 00:00:00"))], "rid bigint, rts timestamp")
+    out = binned_interval_join(left, far, "lts", "rts", band_s=300, how="left").collect()
+    assert len(out) == 1 and out[0]["rid"] is None
+
+
+def test_token_budget_pack_boundary(spark):
+    """Budget is inclusive: the doc that exactly fills it stays, the next
+    (lower-quality) doc falls out."""
+    from pyspark.sql import functions as F2
+
+    from backend_etl_spark.operators.curation import token_budget_pack
+
+    df = spark.createDataFrame(
+        [(1, 40, 0.9), (2, 60, 0.8), (3, 10, 0.7)],
+        "id bigint, n_tokens bigint, q double",
+    )
+    kept = {
+        r["id"]
+        for r in token_budget_pack(df, "id", "n_tokens", F2.col("q"), budget=100).collect()
+    }
+    assert kept == {1, 2}  # 40 + 60 == budget; doc 3 would exceed it
