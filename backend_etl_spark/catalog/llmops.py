@@ -21,9 +21,9 @@ from backend_etl_spark.sources.loader import load_table
 
 # shared SQL fragments -------------------------------------------------------
 
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
-_NORM_TOKS = rf"string_split_regex(trim({_NORM}), '\s+')"
+_NORM_TOKS = rf"list_filter(string_split_regex(trim({_NORM}), '\s+'), t -> t <> '')"
 
 _SHINGLES_CTE = rf"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -167,8 +167,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
     SELECT doc_id,
            md5(norm) AS content_md5,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(trim(norm), '\\s+'))), ' ')) AS token_bag_md5
+           md5(array_to_string(list_sort(list_distinct(list_filter(
+               string_split_regex(trim(norm), '\\s+'), t -> t <> ''))), ' ')) AS token_bag_md5
     FROM n
     """,
 )
@@ -518,7 +518,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_budget",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(text,
                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
                 AS BIGINT)                                             AS bpe_ish_tokens
@@ -681,9 +681,9 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH q AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-             round(len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
-                   / len(string_split_regex(trim(text), '\s+')), 6)     AS quality
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+             round(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) * 1.0
+                   / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 6)     AS quality
       FROM documents)
     SELECT doc_id, lang, n_tokens, quality
     FROM (SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id

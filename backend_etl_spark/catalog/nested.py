@@ -91,7 +91,7 @@ def nested_struct_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_tokens_top20",
     oracle="""
     WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
       FROM documents)
     SELECT token, count(*) AS n
     FROM tok GROUP BY token
@@ -222,8 +222,8 @@ def map_ops_event_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             list_distinct(string_split_regex(trim(text), '\s+')[1:CAST(floor(len(string_split_regex(trim(text), '\s+')) / 2) AS INT)]) AS first_half,
-             list_distinct(string_split_regex(trim(text), '\s+')[CAST(floor(len(string_split_regex(trim(text), '\s+')) / 2) AS INT) + 1:]) AS second_half
+             list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')[1:CAST(floor(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) / 2) AS INT)]) AS first_half,
+             list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')[CAST(floor(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) / 2) AS INT) + 1:]) AS second_half
       FROM documents)
     SELECT doc_id,
            CAST(len(first_half) AS BIGINT)  AS n_first,

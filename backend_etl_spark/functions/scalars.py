@@ -79,6 +79,13 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization -> ARRAY<STRING> (empty-safe)."""
+    """Whitespace tokenization -> ARRAY<STRING> (empty-safe).
+
+    ``split`` on an empty/whitespace-only string yields ``[""]`` — one
+    empty token — which would make token_count('') == 1 and leak an
+    empty token into simhash votes, stopword ratios, and quality-score
+    denominators. Filter it so empty text tokenizes to an empty array.
+    The DuckDB oracles mirror this with ``list_filter(..., t -> t <> '')``.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))

@@ -59,6 +59,13 @@ def run_incremental(
     tenants = source.select(F.col(tenant_col).alias("tenant_id")).distinct()
     # broadcast control-dim join: watermark stamped onto each tenant
     ctl = tenants.join(F.broadcast(wm.select("tenant_id", "watermark")), "tenant_id", "left")
+    # Materialize the control table BEFORE the mode loop: catchup's
+    # state.advance() swaps the watermark directory, and a lazy ctl plan
+    # would re-list the deleted parquet files when general mode executes
+    # (mixed tick: new tenants land catchup rows while stale tenants
+    # still need the general pass). The table is tiny (|tenants| rows),
+    # so eager materialization is O(control data), not O(feed).
+    ctl = ctl.localCheckpoint(eager=True)
 
     counts = {}
     for mode in ("catchup", "general"):

@@ -5,8 +5,8 @@ Reproduces the reference's sink semantics Spark-first:
   becomes: dropDuplicates on the key within the batch, then a left-anti
   join against the sink's existing keys, then an append — the canonical
   Structured Streaming idempotent-sink recipe. NULLs in composite keys
-  compare as equal (dropDuplicates semantics), documented choice per
-  SURVEY §7.3.
+  compare as equal both intra-batch (dropDuplicates) and cross-batch
+  (the anti-join uses eqNullSafe), documented choice per SURVEY §7.3.
 - the per-(tenant, platform) watermark columns on ``users``
   (utils/db_helpers.py:78-90) become a small ``watermarks`` state table,
   advanced only when a batch lands ≥1 row (tasks.py:198-199 guards
@@ -75,7 +75,17 @@ def write_idempotent(
         existing = spark.read.parquet(path)
         if prune is not None:
             existing = existing.where(prune)
-        batch = batch.join(existing.select(*key_cols).distinct(), key_cols, "left_anti")
+        # eqNullSafe so cross-batch dedup matches dropDuplicates' NULL
+        # semantics: a row with a NULL key column is appended once, not
+        # re-appended on every redelivery (null-unsafe equality would
+        # never match it against the sink's copy).
+        ex = existing.select(*key_cols).distinct().alias("__sink_ex")
+        b = batch.alias("__sink_in")
+        cond = None
+        for k in key_cols:
+            c = F.col(f"__sink_in.{k}").eqNullSafe(F.col(f"__sink_ex.{k}"))
+            cond = c if cond is None else cond & c
+        batch = b.join(ex, cond, "left_anti")
     # rows-appended metric rides the write action itself (Observation =
     # accumulator-backed, SURVEY §2.6 A1's per-task count) — one pass,
     # no persist, no second job. An all-duplicate batch writes an empty

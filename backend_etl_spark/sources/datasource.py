@@ -67,12 +67,31 @@ class FixtureFeedReader(DataSourceReader):
         self.until = options.get("until")
         self.max_items = int(options.get("max_items", 0)) or None
 
+    def _emits(self, line: str) -> bool:
+        """Would read() emit this raw line? (blank-line + time-window
+        pushdown — the single source of truth for both planning and
+        reading, so the limit budget counts exactly the emitted rows.)"""
+        line = line.strip()
+        if not line:
+            return False
+        if self.ts_key and (self.since or self.until):
+            ts = json.loads(line).get(self.ts_key)
+            if ts is not None:
+                if self.since and ts < self.since:
+                    return False
+                if self.until and ts >= self.until:
+                    return False
+        return True
+
     def partitions(self):
         pages = sorted(
             f for f in os.listdir(self.path) if f.endswith((".json", ".jsonl"))
         )
         # limit pushdown across pages: later pages get the leftover budget
-        # (page size is the cap the remote API enforces; the budget is ours)
+        # (page size is the cap the remote API enforces; the budget is
+        # ours). The budget is charged per EMITTED row — blank lines and
+        # rows the since/until pushdown drops don't consume it, so with a
+        # time filter active later pages still get their full share.
         parts = []
         remaining = self.max_items
         for i, fname in enumerate(pages):
@@ -82,28 +101,18 @@ class FixtureFeedReader(DataSourceReader):
             parts.append(_PagePartition(i, os.path.join(self.path, fname), budget))
             if remaining is not None:
                 with open(os.path.join(self.path, fname)) as fh:
-                    remaining -= sum(1 for _ in fh)
+                    remaining -= sum(1 for line in fh if self._emits(line))
         return parts
 
     def read(self, partition: _PagePartition):
         emitted = 0
         with open(partition.path) as fh:
             for line in fh:
-                line = line.strip()
-                if not line:
+                if not self._emits(line):
                     continue
                 if partition.budget >= 0 and emitted >= partition.budget:
                     break
-                # time-window pushdown: filter inside the connector, the
-                # way the reference embeds since/until in the API query
-                if self.ts_key and (self.since or self.until):
-                    ts = json.loads(line).get(self.ts_key)
-                    if ts is not None:
-                        if self.since and ts < self.since:
-                            continue
-                        if self.until and ts >= self.until:
-                            continue
-                yield (partition.page, line)
+                yield (partition.page, line.strip())
                 emitted += 1
 
 

@@ -15,6 +15,7 @@ scan raw history.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -42,7 +43,18 @@ def _partial_rollup(events: DataFrame) -> DataFrame:
     )
 
 
-def _merge_into(rollup_path: str, partial: DataFrame) -> None:
+_BATCH_MARKER = "_last_batch_id.json"  # underscore-prefixed: parquet readers skip it
+
+
+def _last_applied(rollup_path: str) -> int:
+    marker = os.path.join(rollup_path, _BATCH_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            return json.load(fh)["batch_id"]
+    return -1
+
+
+def _merge_into(rollup_path: str, partial: DataFrame, batch_id: int) -> None:
     spark = partial.sparkSession
     if os.path.isdir(rollup_path):
         merged = (
@@ -55,6 +67,11 @@ def _merge_into(rollup_path: str, partial: DataFrame) -> None:
         merged = partial
     tmp = f"{rollup_path}.tmp-{uuid.uuid4().hex[:8]}"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # the applied-batch marker travels inside the dir, so data + marker
+    # swap in as one atomic rename — a crash between swap and stream
+    # checkpoint leaves the marker proving the batch already folded
+    with open(os.path.join(tmp, _BATCH_MARKER), "w") as fh:
+        json.dump({"batch_id": batch_id}, fh)
     if os.path.isdir(rollup_path):
         shutil.rmtree(rollup_path)
     os.rename(tmp, rollup_path)
@@ -64,12 +81,18 @@ def maintain_rollup(
     spark: SparkSession, source_dir: str, rollup_path: str, checkpoint_dir: str
 ) -> None:
     """Drain new events through the incremental rollup maintenance.
-    Exactly-once: the checkpoint ensures each source file folds in once;
-    partials merge algebraically so any batch split gives the same
-    table."""
 
-    def _fold(batch: DataFrame, _batch_id: int) -> None:
-        _merge_into(rollup_path, _partial_rollup(batch))
+    foreachBatch is at-least-once, and the additive fold is not
+    idempotent on its own — so each fold records its batch_id in a
+    marker swapped atomically with the table, and replayed batches
+    (crash after swap, before the checkpoint commit) are skipped.
+    That closes the recovery window to exactly-once; partials merge
+    algebraically so any batch split gives the same table."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied(rollup_path):
+            return  # replayed batch (recovery): already folded in
+        _merge_into(rollup_path, _partial_rollup(batch), batch_id)
 
     (
         read_events_stream(spark, source_dir)
