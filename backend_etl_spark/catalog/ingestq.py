@@ -28,6 +28,7 @@ from backend_etl_spark.operators.htmlparse import (
     extract_reviews,
     extract_trustpilot,
 )
+from backend_etl_spark.ingest import projections as P
 from backend_etl_spark.operators.partitioning import spread
 from backend_etl_spark.session import tune
 from backend_etl_spark.sources.loader import load_table
@@ -220,4 +221,161 @@ def html_parse_feefo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "service_review",
         "product_review",
         "customer_location",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1/S2/S3: three Twitter record shapes → one conformed twitter_mentions
+# ---------------------------------------------------------------------------
+
+
+def _twitter_three_raw(events: DataFrame):
+    """Deterministic fixture builder: the events table rendered as the
+    three Twitter payload shapes the reference maintains (S1 Apify
+    search, S2 Apify author-timeline, S3 snscrape), with overlapping
+    tweet_id ranges (event_id % 4 buckets 0,1 / 1,2 / 2,3) so the union
+    really exercises conflicting-source dedup, plus per-shape guard
+    triggers (S1: NULL createdAt at %19; S2: empty text at %17, NULL id
+    at %23; S3: NULL counts at %5/%7)."""
+    eid, uid = F.col("event_id"), F.col("user_id")
+    sid = eid.cast("string")
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    reply = F.when(eid % 7 == 0, F.lit(None)).otherwise(eid % 7).cast("int")
+
+    s1 = events.where((eid % 4).isin(0, 1)).select(
+        sid.alias("id"),
+        F.concat(F.lit("https://x.com/"), sid).alias("url"),
+        F.concat(F.lit("tweet "), sid).alias("text"),
+        F.when(
+            eid % 19 == 0, F.lit(None)
+        ).otherwise(
+            F.date_format(F.col("ts"), "EEE MMM dd HH:mm:ss '+0000' yyyy")
+        ).alias("createdAt"),
+        (eid % 11).cast("int").alias("retweetCount"),
+        reply.alias("replyCount"),
+        (eid % 13).cast("int").alias("likeCount"),
+        (eid % 101).cast("int").alias("viewCount"),
+        F.struct(F.concat(F.lit("u"), uid.cast("string")).alias("name")).alias("author"),
+        F.lit(None).cast("array<struct<expanded_url:string>>").alias("media"),
+        F.lit(None)
+        .cast(
+            "struct<media:array<struct<type:string,"
+            "videoInfo:struct<variants:array<struct<url:string>>>>>>"
+        )
+        .alias("extendedEntities"),
+    )
+    s2 = events.where((eid % 4).isin(1, 2)).select(
+        F.when(eid % 23 == 0, F.lit(None)).otherwise(sid).alias("id"),
+        F.when(eid % 17 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("tweet "), sid)
+        ).alias("text"),
+        iso.alias("createdAt"),
+        reply.alias("replyCount"),
+        F.concat(F.lit("req_u"), uid.cast("string")).alias("requested_handle"),
+    )
+    s3 = events.where((eid % 4).isin(2, 3)).select(
+        eid.alias("id"),
+        F.concat(F.lit("tweet "), sid).alias("content"),
+        iso.alias("date"),
+        F.struct(F.concat(F.lit("u"), uid.cast("string")).alias("username")).alias("user"),
+        reply.alias("replyCount"),
+        F.when(eid % 5 == 0, F.lit(None)).otherwise(eid % 13).cast("int").alias("likeCount"),
+    )
+    return s1, s2, s3
+
+
+@register(
+    "twitter_union_three_shapes",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2
+      FROM events),
+    s1 AS (
+      SELECT CAST(event_id AS VARCHAR)                       AS tweet_id,
+             'apify_search'                                  AS source,
+             1                                               AS rnk,
+             'https://x.com/' || CAST(event_id AS VARCHAR)   AS twitter_url,
+             'tweet ' || CAST(event_id AS VARCHAR)           AS text,
+             'u' || CAST(user_id AS VARCHAR)                 AS author_handle,
+             ts2                                             AS created_at,
+             CAST(CASE WHEN event_id % 7 = 0 THEN 0
+                       ELSE event_id % 7 END AS INT)         AS reply_count,
+             CAST(event_id % 11 AS INT)                      AS retweet_count,
+             CAST(event_id % 13 AS INT)                      AS like_count,
+             CAST(event_id % 101 AS INT)                     AS view_count
+      FROM base WHERE event_id % 4 IN (0, 1) AND event_id % 19 <> 0),
+    s2 AS (
+      SELECT CAST(event_id AS VARCHAR), 'apify_author', 2,
+             CAST(NULL AS VARCHAR),
+             'tweet ' || CAST(event_id AS VARCHAR),
+             'req_u' || CAST(user_id AS VARCHAR),
+             ts2,
+             CAST(CASE WHEN event_id % 7 = 0 THEN 0
+                       ELSE event_id % 7 END AS INT),
+             CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)
+      FROM base WHERE event_id % 4 IN (1, 2)
+        AND event_id % 17 <> 0 AND event_id % 23 <> 0),
+    s3 AS (
+      SELECT CAST(event_id AS VARCHAR), 'snscrape', 3,
+             CAST(NULL AS VARCHAR),
+             'tweet ' || CAST(event_id AS VARCHAR),
+             'u' || CAST(user_id AS VARCHAR),
+             ts2,
+             CAST(CASE WHEN event_id % 7 = 0 THEN 0
+                       ELSE event_id % 7 END AS INT),
+             CAST(NULL AS INT),
+             CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                       ELSE event_id % 13 END AS INT),
+             CAST(NULL AS INT)
+      FROM base WHERE event_id % 4 IN (2, 3)),
+    u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+    d AS (SELECT *, row_number() OVER (PARTITION BY tweet_id ORDER BY rnk) AS rn FROM u)
+    SELECT tweet_id, source, 'Acme' AS company_name, twitter_url, text,
+           author_handle, created_at, reply_count, retweet_count,
+           like_count, view_count
+    FROM d WHERE rn = 1
+    """,
+)
+def twitter_union_three_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Twitter record shapes → one conformed twitter_mentions
+    relation with first-writer-wins dedup (S1+S2+S3 → U1).
+
+    The reference runs three scrapers writing the same table with
+    ON CONFLICT (tweet_id) DO NOTHING — whichever lands first wins.
+    Wall-clock order isn't reproducible, so the engine makes the winner
+    deterministic: source-priority row_number over tweet_id (one
+    shuffle; at 100 TB this is the same single exchange a groupBy-first
+    would cost, and AQE handles any hot tweet_id)."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    s1_raw, s2_raw, s3_raw = _twitter_three_raw(events)
+    company = F.lit("Acme")
+    fetched = F.lit("2025-01-01 00:00:00").cast("timestamp")
+    conformed = (
+        P.project_twitter(s1_raw, company, fetched)
+        .withColumn("source", F.lit("apify_search"))
+        .withColumn("rnk", F.lit(1))
+        .unionByName(
+            P.project_twitter2(s2_raw, company, fetched)
+            .withColumn("source", F.lit("apify_author"))
+            .withColumn("rnk", F.lit(2))
+        )
+        .unionByName(
+            P.project_twitter3(s3_raw, company, fetched)
+            .withColumn("source", F.lit("snscrape"))
+            .withColumn("rnk", F.lit(3))
+        )
+    )
+    w = Window.partitionBy("tweet_id").orderBy("rnk")
+    return (
+        conformed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "tweet_id", "source", "company_name", "twitter_url", "text",
+            "author_handle", "created_at", "reply_count", "retweet_count",
+            "like_count", "view_count",
+        )
     )

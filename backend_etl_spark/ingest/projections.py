@@ -75,6 +75,77 @@ def project_twitter(
     )
 
 
+def project_twitter2(
+    raw: DataFrame, company_name: Column, fetched_at: Column | None = None
+) -> DataFrame:
+    """Apify author-timeline mentions (twitter2_scraper.py:49-66, S2).
+
+    Same sink table as S1, different record shape: flat ``id``/``text``/
+    ``createdAt`` keys, ISO timestamps, and the author handle is the
+    REQUESTED username from the task payload (:31-33), not a payload
+    field. Guard: ``id`` and ``text`` both truthy (:53-55) — note this
+    differs from S1's createdAt guard. ``replyCount`` defaults 0 via
+    ``.get(..., 0)`` (:63).
+
+    The reference's record omits the url/count keys its shared INSERT
+    references (twitter2_scraper.py:57-63 vs db_helpers.py:98) — a
+    latent KeyError there; here the missing fields surface as NULLs.
+    """
+    return (
+        raw.where(
+            F.col("id").isNotNull() & (F.col("id") != "")
+            & F.col("text").isNotNull() & (F.col("text") != "")
+        )
+        .select(
+            F.col("id").alias("tweet_id"),
+            company_name.alias("company_name"),
+            F.lit(None).cast("string").alias("twitter_url"),
+            F.col("text"),
+            F.col("requested_handle").alias("author_handle"),
+            F.try_to_timestamp(
+                F.col("createdAt"), F.lit("yyyy-MM-dd'T'HH:mm:ss")
+            ).alias("created_at"),
+            _i(F.col("replyCount")).alias("reply_count"),
+            F.lit(None).cast("int").alias("retweet_count"),
+            F.lit(None).cast("int").alias("like_count"),
+            F.lit(None).cast("int").alias("view_count"),
+            F.lit(None).cast("string").alias("image"),
+            F.lit(None).cast("string").alias("videourl"),
+            _fetched(fetched_at).alias("fetched_at"),
+        )
+    )
+
+
+def project_twitter3(
+    raw: DataFrame, company_name: Column, fetched_at: Column | None = None
+) -> DataFrame:
+    """snscrape timeline mentions (twitter3_scraper.py:41-58, S3).
+
+    Third record shape writing the same table: numeric ``id`` (cast to
+    string, :47), ``content`` as text, nested ``user.username``, ISO
+    ``date``; reply/like counts apply the ``or 0`` falsy-default (:52-53,
+    F12). The since-lower-bound early termination lives connector-side
+    (P9); this projection is shape only.
+    """
+    return raw.select(
+        F.col("id").cast("string").alias("tweet_id"),
+        company_name.alias("company_name"),
+        F.lit(None).cast("string").alias("twitter_url"),
+        F.col("content").alias("text"),
+        F.col("user.username").alias("author_handle"),
+        F.try_to_timestamp(F.col("date"), F.lit("yyyy-MM-dd'T'HH:mm:ss")).alias(
+            "created_at"
+        ),
+        _i(F.col("replyCount")).alias("reply_count"),
+        F.lit(None).cast("int").alias("retweet_count"),
+        _i(F.col("likeCount")).alias("like_count"),
+        F.lit(None).cast("int").alias("view_count"),
+        F.lit(None).cast("string").alias("image"),
+        F.lit(None).cast("string").alias("videourl"),
+        _fetched(fetched_at).alias("fetched_at"),
+    )
+
+
 #: the per-post fields of the Instagram payload, in schema order
 _IG_FIELDS = [
     "id", "shortCode", "description", "caption", "username", "ownerUsername",

@@ -97,6 +97,22 @@ TWITTER_RAW_DDL = """
         videoInfo: STRUCT<variants: ARRAY<STRUCT<url: STRING>>>>>>
 """
 
+# Apify author-timeline shape (twitter2_scraper.py:49-63): flat keys,
+# ISO createdAt, only replyCount among the counters. The requested
+# handle is request context, not payload — carried as a column here.
+TWITTER2_RAW_DDL = """
+    id STRING, text STRING, createdAt STRING, replyCount INT,
+    requested_handle STRING
+"""
+
+# snscrape timeline shape (twitter3_scraper.py:41-58): numeric id,
+# `content` text, nested user.username, ISO date.
+TWITTER3_RAW_DDL = """
+    id BIGINT, content STRING, date STRING,
+    user STRUCT<username: STRING>,
+    replyCount INT, likeCount INT
+"""
+
 _IG_POST = (
     "STRUCT<id: STRING, shortCode: STRING, description: STRING, caption: STRING, "
     "username: STRING, ownerUsername: STRING, publishedAt: STRING, timestamp: STRING, "

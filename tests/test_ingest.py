@@ -63,6 +63,67 @@ def test_twitter_projection(twitter_raw):
     assert t3["company_name"] == "Acme"
 
 
+def test_twitter2_projection(spark):
+    """S2 author-timeline shape: flat keys, ISO ts, id+text truthy guard
+    (twitter2_scraper.py:53-55), replyCount .get(..., 0) default."""
+    data = [
+        {"id": "a1", "text": "hello", "createdAt": "2023-11-13T22:13:20",
+         "replyCount": 3, "requested_handle": "acme_hq"},
+        {"id": "a2", "text": "", "createdAt": "2023-11-13T22:13:20",
+         "replyCount": 1, "requested_handle": "acme_hq"},      # empty text → skip
+        {"id": None, "text": "orphan", "createdAt": "2023-11-13T22:13:20",
+         "replyCount": 1, "requested_handle": "acme_hq"},      # no id → skip
+        {"id": "a4", "text": "no reply count", "createdAt": "2023-11-14T00:00:00",
+         "replyCount": None, "requested_handle": "acme_hq"},
+    ]
+    raw = spark.createDataFrame(data, S.TWITTER2_RAW_DDL)
+    out = rows_by(P.project_twitter2(raw, COMPANY(), FETCHED()), "tweet_id")
+    assert set(out) == {"a1", "a4"}
+    a1 = out["a1"]
+    assert a1["author_handle"] == "acme_hq"  # request context, not payload
+    assert a1["created_at"] == dt.datetime(2023, 11, 13, 22, 13, 20)
+    assert a1["reply_count"] == 3
+    # fields the S2 payload never carries surface as NULLs
+    assert a1["twitter_url"] is None and a1["retweet_count"] is None
+    assert a1["like_count"] is None and a1["image"] is None
+    assert out["a4"]["reply_count"] == 0  # .get(..., 0) default (F12)
+
+
+def test_twitter3_projection(spark):
+    """S3 snscrape shape: numeric id → string, content/user.username,
+    `or 0` falsy-defaults on counts (twitter3_scraper.py:47-53)."""
+    data = [
+        {"id": 991, "content": "from sn", "date": "2023-11-13T22:13:20",
+         "user": {"username": "bob"}, "replyCount": None, "likeCount": 7},
+        {"id": 992, "content": "late", "date": "2023-11-15T01:02:03",
+         "user": {"username": "eve"}, "replyCount": 2, "likeCount": None},
+    ]
+    raw = spark.createDataFrame(data, S.TWITTER3_RAW_DDL)
+    out = rows_by(P.project_twitter3(raw, COMPANY(), FETCHED()), "tweet_id")
+    assert set(out) == {"991", "992"}  # BIGINT id cast to string
+    assert out["991"]["author_handle"] == "bob"
+    assert out["991"]["reply_count"] == 0 and out["991"]["like_count"] == 7
+    assert out["992"]["reply_count"] == 2 and out["992"]["like_count"] == 0
+    assert out["992"]["created_at"] == dt.datetime(2023, 11, 15, 1, 2, 3)
+    assert out["991"]["retweet_count"] is None  # snscrape shape has no RT count
+
+
+def test_twitter_three_shapes_conform_to_one_schema(spark):
+    """The three projections must be unionByName-compatible — the Spark
+    analog of three scrapers writing one twitter_mentions table."""
+    s1 = P.project_twitter(
+        spark.createDataFrame([], S.TWITTER_RAW_DDL), COMPANY(), FETCHED()
+    )
+    s2 = P.project_twitter2(
+        spark.createDataFrame([], S.TWITTER2_RAW_DDL), COMPANY(), FETCHED()
+    )
+    s3 = P.project_twitter3(
+        spark.createDataFrame([], S.TWITTER3_RAW_DDL), COMPANY(), FETCHED()
+    )
+    assert s1.columns == s2.columns == s3.columns
+    assert s1.unionByName(s2).unionByName(s3).count() == 0
+
+
 # --- instagram -------------------------------------------------------------
 
 
