@@ -39,7 +39,18 @@ class FeedSpec:
 
 
 def _lit(t: dict, key: str) -> Column:
-    return F.lit(t.get(key))
+    """Tenant attribute → Column. Values may be scalars (per-tenant
+    literal path) or Columns (set-based fleet path, where the attribute
+    comes off the broadcast-joined users dim)."""
+    v = t.get(key)
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+#: dim attributes the platform projections may reference (tasks.py:112-119)
+_DIM_KEYS = (
+    "company_name", "company_web_address", "facebook_username",
+    "feefo_business_info", "place_url",
+)
 
 
 FEEDS: dict[str, FeedSpec] = {
@@ -102,6 +113,117 @@ FEEDS: dict[str, FeedSpec] = {
 }
 
 
+#: users-dim columns the fleet tick carries (id + dispatch handles + dim
+#: attributes the projections stamp)
+_FLEET_USERS_DDL = """
+    id BIGINT, company_name STRING, company_web_address STRING,
+    twitter_username STRING, instagram_username STRING,
+    facebook_username STRING, linkedin_username STRING,
+    feefo_business_info STRING, place_url STRING
+"""
+
+
+def ingest_feed_fleet(
+    spark: SparkSession,
+    platform: str,
+    feeds: dict[int, str],
+    sink_path: str,
+    state: WatermarkStore,
+    users: DataFrame,
+    as_of: dt.datetime,
+    max_items: int | None = None,
+) -> dict:
+    """One scheduler tick for the WHOLE fleet of one platform: every
+    eligible (tenant, feed) lands through a single plan — per-tenant feed
+    reads unioned, the users dim + watermark table broadcast-joined on,
+    one projection, one window filter, one idempotent write, one
+    watermark advance. O(1) Spark jobs regardless of tenant count (the
+    reference fans out one Celery task per tenant, tasks.py:80-101; the
+    round-1 per-tenant loop here cost 3 jobs + a watermark-table scan
+    PER tenant).
+
+    Semantics:
+    - P10 dispatch guard: tenants whose platform handle is NULL on the
+      users dim are skipped entirely — no fetch, no rows, no watermark
+      (tasks.py:124-126 `if not user.twitter_username: continue`).
+    - watermark advance for every tenant with ≥1 in-window item
+      PROCESSED, duplicates included — the reference's counter counts
+      ON CONFLICT no-ops too (tasks.py:195-199 with db_helpers' silent
+      conflict swallow), and the idempotent sink makes that safe.
+    - assumes company_name is unique per tenant (the users dim's natural
+      key): the projections keep only dim attributes, so the tenant id
+      is re-stamped by company_name join after projection.
+
+    Returns {"appended": total_rows, "advanced": [tenant_ids]}.
+    """
+    import functools
+
+    spec = FEEDS[platform]
+    spark.dataSource.register(FixtureFeedDataSource)
+    handle_col = schemas.HANDLE_COLS[platform]
+
+    eligible = users.where(F.col(handle_col).isNotNull())  # P10
+    wm = (
+        state.read()
+        .where(F.col("platform") == platform)
+        .select("tenant_id", "watermark")
+    )
+    dim_cols = [c for c in _DIM_KEYS if c in users.columns]
+    # control table: tiny (|tenants|); materialized so the advance's
+    # directory swap cannot invalidate the in-flight batch plan
+    ctl = (
+        eligible.select(F.col("id").alias("tenant_id"), *dim_cols)
+        .join(F.broadcast(wm), "tenant_id", "left")
+        .withColumn(
+            "since", F.coalesce(F.col("watermark"), F.lit(as_of - CATCHUP_WINDOW))
+        )
+        .drop("watermark")
+        .localCheckpoint(eager=True)
+    )
+    eligible_ids = {r["tenant_id"] for r in ctl.select("tenant_id").collect()}
+
+    readers = []
+    for tid, feed_dir in feeds.items():
+        if tid not in eligible_ids:
+            continue  # P10: no handle → no fetch
+        reader = spark.read.format("fixture_feed").option("path", feed_dir)
+        if max_items:
+            reader = reader.option("max_items", str(max_items))
+        readers.append(reader.load().select(F.lit(tid).alias("tenant_id"), "item"))
+    if not readers:
+        return {"appended": 0, "advanced": []}
+    raw_all = functools.reduce(lambda a, b: a.unionByName(b), readers)
+
+    typed = raw_all.select(
+        "tenant_id", F.from_json("item", spec.raw_ddl).alias("r")
+    ).select("tenant_id", "r.*")
+    enriched = typed.join(F.broadcast(ctl), "tenant_id")
+    dim = {k: F.col(k) for k in dim_cols}
+    projected = spec.project(enriched, dim, F.lit(as_of))
+
+    # re-stamp tenant_id + since through the projection via the dim key
+    stamped = projected.join(
+        F.broadcast(ctl.select("company_name", "tenant_id", "since")), "company_name"
+    )
+    if spec.event_ts is not None:
+        ts = spec.event_ts()
+        stamped = stamped.where((ts > F.col("since")) & (ts <= F.lit(as_of)))
+
+    landed = [r["tenant_id"] for r in stamped.groupBy("tenant_id").count().collect()]
+    n = write_idempotent(
+        stamped.drop("tenant_id", "since"),
+        sink_path,
+        schemas.DEDUP_KEYS[spec.table],
+    )
+    if landed:
+        state.advance(
+            spark.createDataFrame(
+                [(t, platform, as_of) for t in landed], WatermarkStore.SCHEMA
+            )
+        )
+    return {"appended": n, "advanced": sorted(landed)}
+
+
 def ingest_feed(
     spark: SparkSession,
     platform: str,
@@ -112,36 +234,39 @@ def ingest_feed(
     as_of: dt.datetime,
     max_items: int | None = None,
 ) -> int:
-    """One scrape tick for one (tenant, platform): connector read →
-    from_json typing → platform projection → incremental window →
-    idempotent sink → watermark advance iff rows landed. The generic
-    form of the reference's per-platform task bodies (tasks.py:105-717,
-    one hand-written function per platform there; one FeedSpec row here).
-    """
-    spec = FEEDS[platform]
-    spark.dataSource.register(FixtureFeedDataSource)
-    watermark = state.get(tenant["id"], platform)
-    since = watermark or (as_of - CATCHUP_WINDOW)
-
-    reader = spark.read.format("fixture_feed").option("path", feed_dir)
-    if max_items:
-        reader = reader.option("max_items", str(max_items))
-    raw = reader.load().select(
-        F.from_json("item", spec.raw_ddl).alias("r")
-    ).select("r.*")
-
-    projected = spec.project(raw, tenant, F.lit(as_of))
-    if spec.event_ts is not None:
-        ts = spec.event_ts()
-        projected = projected.where((ts > F.lit(since)) & (ts <= F.lit(as_of)))
-
-    n = write_idempotent(projected, sink_path, schemas.DEDUP_KEYS[spec.table])
-    if n:  # advance only on non-empty batch (W1)
-        landed = spark.createDataFrame(
-            [(tenant["id"], platform, as_of)], WatermarkStore.SCHEMA
-        )
-        state.advance(landed)
-    return n
+    """One scrape tick for one (tenant, platform) — a thin wrapper over
+    the set-based fleet tick (the reference's per-platform task bodies,
+    tasks.py:105-717, one hand-written function per platform there; one
+    FeedSpec row here). A direct call IS the dispatch decision, so a
+    missing handle attribute is defaulted rather than P10-filtered —
+    hand ``ingest_feed_fleet`` a real users dim to get the guard.
+    Returns rows appended."""
+    handle_col = schemas.HANDLE_COLS[platform]
+    row = {
+        "id": tenant["id"],
+        "company_name": tenant.get("company_name"),
+        "company_web_address": tenant.get("company_web_address"),
+        "twitter_username": tenant.get("twitter_username"),
+        "instagram_username": tenant.get("instagram_username"),
+        "facebook_username": tenant.get("facebook_username"),
+        "linkedin_username": tenant.get("linkedin_username"),
+        "feefo_business_info": tenant.get("feefo_business_info"),
+        "place_url": tenant.get("place_url"),
+    }
+    if row.get(handle_col) is None:
+        row[handle_col] = "(dispatched)"
+    users = spark.createDataFrame([row], _FLEET_USERS_DDL)
+    out = ingest_feed_fleet(
+        spark,
+        platform,
+        {tenant["id"]: feed_dir},
+        sink_path,
+        state,
+        users,
+        as_of,
+        max_items,
+    )
+    return out["appended"]
 
 
 def ingest_twitter_feed(

@@ -179,16 +179,23 @@ def project_instagram(
         .when(F.col("items").isNotNull(), F.col("items"))
         .otherwise(entry_as_post)
     )
+    # evaluate the dim stamps BEFORE the explode: company_name may be a
+    # column off a joined users dim (fleet path), and the explode's
+    # restructuring would drop it otherwise
     p = (
         raw.where(F.col("error").isNull())
-        .select(F.explode(posts).alias("p"))
-        .select("p.*")
+        .select(
+            company_name.alias("__company_name"),
+            _fetched(fetched_at).alias("__fetched_at"),
+            F.explode(posts).alias("p"),
+        )
+        .select("__company_name", "__fetched_at", "p.*")
     )
     created = F.try_to_timestamp(F.coalesce(F.col("publishedAt"), F.col("timestamp")))
     return (
         p.select(
             F.coalesce(F.col("id"), F.col("shortCode")).alias("post_id"),
-            company_name.alias("company_name"),
+            F.col("__company_name").alias("company_name"),
             F.coalesce(F.col("description"), F.col("caption")).alias("caption"),
             F.coalesce(F.col("username"), F.col("ownerUsername")).alias("author_handle"),
             created.alias("created_at"),
@@ -196,7 +203,7 @@ def project_instagram(
             _i(F.coalesce(F.col("commentsCount"), F.col("comment_count"))).alias(
                 "comment_count"
             ),
-            _fetched(fetched_at).alias("fetched_at"),
+            F.col("__fetched_at").alias("fetched_at"),
             F.col("images").alias("image"),
             F.coalesce(F.col("videoUrl"), F.col("video_url")).alias("videourl"),
         )

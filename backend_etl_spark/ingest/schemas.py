@@ -85,6 +85,20 @@ DEDUP_KEYS = {
     "linkedin_posts": ["company_name", "urn"],
 }
 
+#: per-platform dispatch handle on the users dim — the column whose
+#: NULL-ness makes the reference skip a tenant entirely (P10,
+#: tasks.py:124-126 `if not user.twitter_username: continue` et al.)
+HANDLE_COLS = {
+    "twitter": "twitter_username",
+    "instagram": "instagram_username",
+    "facebook": "facebook_username",
+    "linkedin": "linkedin_username",
+    "feefo": "feefo_business_info",
+    "google_maps": "place_url",
+    "trustpilot": "company_web_address",
+    "reddit": "company_name",  # reddit searches by brand name (reddit_scraper.py)
+}
+
 # raw source payload shapes — FIXTURES.md §A3
 
 TWITTER_RAW_DDL = """

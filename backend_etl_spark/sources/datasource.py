@@ -34,10 +34,32 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 FEED_SCHEMA = "page INT, item STRING"
+
+
+class TransientFeedError(IOError):
+    """A retryable page-fetch failure (the local analog of an HTTP 429/5xx
+    the reference retries with countdown, tasks.py:109,133,203)."""
+
+
+def _consume_failure_budget(page_path: str) -> bool:
+    """Failure injection for tests: a ``<page>.failures`` sidecar holds
+    the number of attempts that must fail before a read succeeds. Each
+    attempt decrements it. Returns True if this attempt should fail."""
+    marker = page_path + ".failures"
+    if not os.path.isfile(marker):
+        return False
+    with open(marker) as fh:
+        n = int(fh.read().strip() or 0)
+    if n <= 0:
+        return False
+    with open(marker, "w") as fh:
+        fh.write(str(n - 1))
+    return True
 
 
 class FixtureFeedDataSource(DataSource):
@@ -66,6 +88,12 @@ class FixtureFeedReader(DataSourceReader):
         self.since = options.get("since")
         self.until = options.get("until")
         self.max_items = int(options.get("max_items", 0)) or None
+        # bounded retry/backoff (W6): the reference wraps every page fetch
+        # in task-level retries with countdown (tasks.py:109,133,203);
+        # here the same discipline lives in the connector, per partition,
+        # beneath Spark's own task-level spark.task.maxFailures.
+        self.max_retries = int(options.get("max_retries", 0))
+        self.retry_backoff_s = float(options.get("retry_backoff_s", 0.1))
 
     def _emits(self, line: str) -> bool:
         """Would read() emit this raw line? (blank-line + time-window
@@ -105,6 +133,20 @@ class FixtureFeedReader(DataSourceReader):
         return parts
 
     def read(self, partition: _PagePartition):
+        for attempt in range(self.max_retries + 1):
+            try:
+                return iter(self._read_page(partition))
+            except TransientFeedError:
+                if attempt >= self.max_retries:
+                    raise
+                # exponential backoff, bounded attempts (W6)
+                time.sleep(self.retry_backoff_s * (2**attempt))
+        raise AssertionError("unreachable")
+
+    def _read_page(self, partition: _PagePartition) -> list[tuple]:
+        if _consume_failure_budget(partition.path):
+            raise TransientFeedError(f"transient failure reading {partition.path}")
+        out = []
         emitted = 0
         with open(partition.path) as fh:
             for line in fh:
@@ -112,8 +154,9 @@ class FixtureFeedReader(DataSourceReader):
                     continue
                 if partition.budget >= 0 and emitted >= partition.budget:
                     break
-                yield (partition.page, line.strip())
+                out.append((partition.page, line.strip()))
                 emitted += 1
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -133,10 +176,18 @@ from pyspark.sql.datasource import SimpleDataSourceStreamReader
 class FixtureFeedStreamReader(SimpleDataSourceStreamReader):
     """Offset = number of page files consumed (the local analog of the
     remote API's opaque `after` cursor). New files appended to the feed
-    dir are picked up by the next micro-batch."""
+    dir are picked up by the next micro-batch.
+
+    ``max_pages_per_trigger`` (W8, the maxOffsetsPerTrigger analog)
+    bounds how many pages one micro-batch consumes — the engine-side
+    shape of the reference's politeness throttles (per-item sleeps,
+    twitter3_scraper.py:25/66): an availableNow drain still consumes
+    everything, in bounded steps, so downstream state and sink commits
+    stay small and the source is never gulped in one batch."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        self.max_pages_per_trigger = int(options.get("max_pages_per_trigger", 0)) or None
 
     def _pages(self) -> list[str]:
         return sorted(
@@ -149,8 +200,11 @@ class FixtureFeedStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         pages = self._pages()
         first = start["page"]
-        rows = self._read_pages(pages[first:], first)
-        return rows, {"page": len(pages)}
+        last = len(pages)
+        if self.max_pages_per_trigger is not None:
+            last = min(last, first + self.max_pages_per_trigger)
+        rows = self._read_pages(pages[first:last], first)
+        return rows, {"page": last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # replay for recovery: deterministic because page files are
