@@ -222,7 +222,11 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def cluster_components(
-    pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: int = 20
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over candidate pairs: every doc gets the MIN
     doc id reachable through the pair graph as its cluster id — turning
@@ -236,19 +240,33 @@ def cluster_components(
     aggregate; the driver loop only checks a 1-row convergence count, so
     the data never leaves the cluster. This is the standard large-scale
     CC recipe (label propagation), not a driver-side union-find.
+
+    ``checkpoint_dir``: when given, per-round lineage truncation uses
+    RELIABLE checkpointing (files under this fault-tolerant dir — on a
+    real cluster, HDFS/object storage) so executor loss mid-iteration
+    recovers from the checkpoint instead of recomputing a broken
+    lineage. Without it (local mode / tests) localCheckpoint is used:
+    cheaper, but pinned to executors and not fault-tolerant.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = _ckpt(edges)
     # only nodes that occur in a candidate pair can change label; the
     # (vast) isolated majority keeps label = self and skips the loop —
     # the iteration touches O(|near-dup docs|), not O(|corpus|)
     every = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     edge_nodes = edges.select(F.col("src").alias("node")).distinct()
-    labels = every.join(edge_nodes, "node", "semi").localCheckpoint(eager=True)
+    labels = _ckpt(every.join(edge_nodes, "node", "semi"))
     isolated = every.join(edge_nodes, "node", "anti")
     for _ in range(max_iter):
         # labels flowing across edges, PLUS hub links (label ↔ node from
@@ -265,12 +283,12 @@ def cluster_components(
             aug.join(labels, aug.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        # localCheckpoint truncates the per-round lineage — without it
-        # the iterated plan grows exponentially and planning, not
-        # execution, becomes the bottleneck (on a cluster use
-        # checkpoint(dir) for fault tolerance instead). The convergence
-        # signal rides the SAME materialization via Observation — one
-        # job per round, no separate count.
+        # per-round checkpoint truncates the iterated lineage — without
+        # it the plan grows exponentially and planning, not execution,
+        # becomes the bottleneck. Reliable vs local is the caller's
+        # checkpoint_dir choice. The convergence signal rides the SAME
+        # materialization via Observation — one job per round, no
+        # separate count.
         from pyspark.sql import Observation
 
         folded = (
@@ -290,7 +308,7 @@ def cluster_components(
             .observe(obs, F.sum("__chg").alias("changed"))
             .select("node", "label")
         )
-        labels = with_flag.localCheckpoint(eager=True)
+        labels = _ckpt(with_flag)
         if not obs.get["changed"]:
             break
     return labels.unionByName(isolated).select(

@@ -132,3 +132,32 @@ def test_feed_budget_counts_only_emitted_rows(spark, tmp_path):
     # 2 emitted from page 0 + 4 of page 1's 5 (leftover budget) = 6:
     # the raw-line miscount would have starved page 1 entirely
     assert df.count() == 6
+
+
+def test_cluster_components_reliable_checkpoint(spark, tmp_path):
+    """VERDICT fix: cluster_components with a reliable checkpoint_dir
+    (fault-tolerant path for real clusters) produces exactly the same
+    clustering as the local-mode localCheckpoint path."""
+    from backend_etl_spark.operators.dedup import cluster_components
+
+    # two components ({1..4} via a chain + {7,8}) and isolated {5,6,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id BIGINT")
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_components(pairs, ids, "doc_id").collect()
+    }
+    assert want == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_components(
+            pairs, ids, "doc_id", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == want
+    # reliable checkpoint files actually landed in the given dir
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))
