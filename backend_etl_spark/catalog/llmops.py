@@ -470,6 +470,87 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_ppm",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             4                  AS width,
+             (doc_id % 3) + 2   AS height,
+             substr(repeat(md5(text), 3), 1,
+                    CAST(4 * ((doc_id % 3) + 2) * 3 * 2 AS INT)) AS pix_hex
+      FROM documents)
+    SELECT doc_id,
+           CAST(width AS BIGINT)            AS width,
+           CAST(height AS BIGINT)           AS height,
+           CAST(255 AS BIGINT)              AS maxval,
+           CAST(width * height * 3 AS BIGINT) AS n_pixel_bytes,
+           CAST(list_sum(list_transform(range(1, CAST(width * height * 3 AS INT) + 1),
+                i -> ('0x' || substr(pix_hex, 2*i - 1, 2))::BIGINT)) AS BIGINT)
+                                            AS sum_pixel_bytes,
+           md5(pix_hex)                     AS pixel_md5
+    FROM px
+    """,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: render a binary PPM (P6) per doc
+    with pure Column expressions (ASCII header + md5-derived pixel
+    bytes), then parse it back with the pure-Python PPM decoder inside
+    mapInPandas. Header fields and pixel statistics all depend on the
+    actual byte-level parse; the oracle computes them directly from the
+    same deterministic construction. Map-only, no shuffle."""
+    tune(spark)
+    from backend_etl_spark.operators.multimodal import decode_image_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    width, height = F.lit(4), (doc_id % 3 + 2)
+    n_bytes = (width * height * 3).cast("int")
+    pix_hex = F.substring(F.repeat(F.md5(F.col("text")), 3), 1, n_bytes * 2)
+    header = F.concat(
+        F.lit("P6\n"), width.cast("string"), F.lit(" "),
+        height.cast("string"), F.lit("\n255\n"),
+    )
+    payloads = docs.select(
+        doc_id,
+        F.concat(F.encode(header, "UTF-8"), F.unhex(pix_hex)).alias("payload"),
+    )
+    return decode_image_meta(payloads)
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT)                  AS n_channels,
+           CAST(8000 AS BIGINT)               AS sample_rate,
+           CAST(2 AS BIGINT)                  AS sample_width,
+           CAST((doc_id % 50) + 10 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, CAST((doc_id % 50) + 10 AS INT)),
+                k -> abs(((doc_id * 31 + k * 7) % 65536) - 32768))) AS BIGINT)
+                                              AS sum_abs,
+           CAST(((doc_id * 31) % 65536) - 32768 AS BIGINT) AS first_sample,
+           CAST(((doc_id * 31 + ((doc_id % 50) + 9) * 7) % 65536) - 32768 AS BIGINT)
+                                              AS last_sample
+    FROM documents
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: a deterministic mono 16-bit PCM WAV
+    per doc written by the stdlib RIFF encoder (one Arrow stage), parsed
+    back by the stdlib-wave decoder (a separate Arrow stage) — params
+    and sample statistics all come from actually reading the container.
+    The oracle recomputes them from the sample formula directly."""
+    tune(spark)
+    from backend_etl_spark.operators.multimodal import (
+        decode_audio_meta,
+        encode_wav_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_meta(encode_wav_fixture(docs))
+
+
+@register(
     "knn_lsh_bucketed",
     oracle=f"""
     WITH {_COS_CTE},

@@ -128,14 +128,54 @@ def test_multimodal_fake_embed_deterministic(spark):
     assert got == {k: int(h[4 * k : 4 * k + 4], 16) for k in range(4)}
 
 
-def test_multimodal_decode_stubs_raise():
+def test_multimodal_decode_honesty():
+    """decode_video stays a stub (needs absent libraries); decode_image
+    and decode_audio are REAL for the codec-free formats and reject
+    what they can't truly parse."""
     import pytest as _pytest
 
     from backend_etl_spark.operators import multimodal
 
-    for stub in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
-        with _pytest.raises(NotImplementedError):
-            stub(b"\x00")
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"\x00")
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n")  # PNG needs PIL: refuse
+    with _pytest.raises(Exception):
+        multimodal.decode_audio(b"ID3\x04mp3data")  # mp3: refuse
+
+
+def test_decode_image_real_ppm():
+    from backend_etl_spark.operators.multimodal import decode_image
+
+    pixels = bytes(range(2 * 2 * 3))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + pixels
+    img = decode_image(ppm)
+    assert (img["width"], img["height"], img["maxval"]) == (2, 2, 255)
+    assert img["pixels"] == pixels
+    # truncated payload refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n\x00\x01")
+
+
+def test_decode_audio_real_wav():
+    import io
+    import struct
+    import wave
+
+    from backend_etl_spark.operators.multimodal import decode_audio
+
+    samples = [0, 1000, -1000, 32767, -32768]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    a = decode_audio(buf.getvalue())
+    assert a["n_channels"] == 1 and a["sample_rate"] == 16000
+    assert a["n_samples"] == 5 and list(a["samples"]) == samples
 
 
 def test_asof_forward_ties_and_tolerance(spark):
