@@ -116,18 +116,39 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ≥1 MinHash band (1 row per band).
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 MinHash band.
 
     Melt signatures to (band_id, band_value), self-join on the band
     bucket. The join key (band_id, band_value) is high-cardinality and
     uniform (md5), so the shuffle is balanced; bucket sizes bound the
     pair fan-out.
+
+    ``rows_per_band`` r concatenates r signature values per band
+    (b = num_hashes/r bands): the classic (b, r) LSH S-curve — larger r
+    sharpens precision (a band matches only if ALL r minhashes agree),
+    more bands raise recall. Parity default (r=1) is the permissive end;
+    BASELINE.md records the measured cost/recall curve.
     """
-    melt_expr = ", ".join(f"'{i}', mh{i}" for i in range(num_hashes))
+    assert num_hashes % rows_per_band == 0, "num_hashes must divide into bands"
+    n_bands = num_hashes // rows_per_band
+    band_vals = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + k}") for k in range(rows_per_band)]
+        )
+        for b in range(n_bands)
+    ]
     bands = signatures.select(
         F.col(id_col),
-        F.expr(f"stack({num_hashes}, {melt_expr}) as (band_id, band_value)"),
+        F.stack(
+            F.lit(n_bands),
+            *[x for b, v in enumerate(band_vals) for x in (F.lit(str(b)), v)],
+        ).alias("band_id", "band_value"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -189,16 +210,23 @@ def jaccard_pairs(
     )
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per doc from distinct tokens.
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, out_col: str | None = None
+) -> DataFrame:
+    """``bits``-wide SimHash per doc from distinct tokens (bits ≤ 63 so
+    the fingerprint fits a signed BIGINT; production recall wants 64 —
+    see BASELINE.md's width cost curve — parity defaults stay at 16).
 
     bit_j(token) = parity of the first hex char of md5(token || '#' || j);
     simhash bit j = majority vote over tokens. Computed as ONE
-    aggregation with 16 sum columns (one per bit) over distinct tokens —
-    no 16× bit-position explode, no second wide shuffle; the only
-    full-width shuffle is the token distinct, and the vote aggregation
-    moves |distinct tokens| rows once.
+    aggregation with ``bits`` sum columns over distinct tokens — no
+    bit-position explode, no second wide shuffle; the only full-width
+    shuffle is the token distinct, and the vote aggregation moves
+    |distinct tokens| rows once regardless of width (wider = more agg
+    columns, same shuffle rows).
     """
+    assert 1 <= bits <= 63, "fingerprint must fit a signed 64-bit integer"
+    out_col = out_col or f"simhash{bits}"
     base = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     tok = (
         base.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -210,15 +238,20 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return (F.ascii(F.substring(h, 1, 1)) % 2) * 2 - 1
 
     votes = tok.groupBy(id_col).agg(
-        *[F.sum(_contrib(j)).alias(f"v{j}") for j in range(16)]
+        *[F.sum(_contrib(j)).alias(f"v{j}") for j in range(bits)]
     )
     sim = None
-    for j in range(16):
+    for j in range(bits):
         bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sim = bit if sim is None else sim + bit
-    return votes.select(F.col(id_col), sim.cast("long").alias("simhash16"))
+    return votes.select(F.col(id_col), sim.cast("long").alias(out_col))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The parity-default 16-bit SimHash (oracle entry width)."""
+    return simhash(df, id_col, text_col, bits=16)
 
 
 def cluster_components(
