@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "agg_quantile_family",
     "sentiment_lexicon",
     "dedup_cluster_components",
+    # round 2 additions
+    "html_parse_trustpilot",
+    "twitter_union_three_shapes",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
 ]
 
 
