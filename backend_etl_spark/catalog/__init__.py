@@ -3,6 +3,7 @@
 from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
     ingestq,
     llmops,
+    llmops2,
     nested,
     relational,
     relational2,

@@ -145,6 +145,89 @@ def rolling_hash(col: Column | str) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; [] when the doc is shorter
+    than n tokens. Pure array expression — map-only at any scale."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1): fraction
+    of tokens taken by the single most frequent token, and the duplicate
+    word-2-gram / 3-gram fractions. Docs above threshold are flagged
+    ``keep = false``.
+
+    All metrics are higher-order array expressions over the token array —
+    no explode, no shuffle, whole-stage-codegen'd: at 100 TB this is a
+    pure map stage. The per-doc top-token count is O(tokens × distinct)
+    inside one row, which beats an explode → groupBy → join-back (two
+    shuffles) for any realistic document length.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    g2 = word_ngrams(toks, 2)
+    g3 = word_ngrams(toks, 3)
+
+    def dup_frac(grams: Column) -> Column:
+        return F.when(
+            F.size(grams) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+                4,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    top_frac = F.round(top_cnt / n.cast("double"), 4)
+    dup2 = dup_frac(g2)
+    dup3 = dup_frac(g3)
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        (~((top_frac > 0.30) | (dup2 > 0.60))).alias("keep"),
+    )
+
+
+def passage_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+) -> DataFrame:
+    """Non-overlapping ``size``-token passages, md5-hashed — the unit for
+    sub-document (paragraph-level) dedup on corpora whose documents have
+    no layout structure. One output row per (doc, passage_idx); docs
+    shorter than ``size`` tokens produce none."""
+    toks = tokens(F.col(text_col))
+    n_pass = F.floor(F.size(toks) / size).cast("int")
+    idx = F.when(n_pass >= 1, F.sequence(F.lit(0), n_pass - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    passages = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * size + 1, size)))
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(passages).alias("passage_idx", "ph")
+    )
+
+
 #: tiny sentiment lexicon — the reference's planned inference/sentiment.py
 #: stage (0 bytes, intent only) realized as a deterministic lexicon score;
 #: swapping in a model = replacing this expression with a pandas_udf batch.

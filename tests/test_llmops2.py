@@ -1,0 +1,174 @@
+"""Tier-2 LLM-data operators: repetition filters, passage dedup, PII
+scrub, int8 quantization, k-means/IVF — unit properties + the plan-shape
+gates that make them 100 TB-safe (oracle parity is covered for every
+entry by test_oracle_parity.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from backend_etl_spark.operators import clustering, pii, quantize, textops
+from backend_etl_spark.plans import quality
+from backend_etl_spark.sources.loader import load_table
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated: top_frac 1, dup2 1
+            (2, "a b c d"),            # all distinct
+            (3, "x"),                  # too short for any n-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.repetition_metrics(df).collect()}
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-4)
+    assert rows[1]["keep"] is False
+    assert rows[2]["top_token_frac"] == 0.25
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[2]["keep"] is True
+    assert rows[3]["dup_2gram_frac"] == 0.0 and rows[3]["dup_3gram_frac"] == 0.0
+
+
+def test_repetition_metrics_is_map_only(spark, sf_dir):
+    df = textops.repetition_metrics(load_table(spark, sf_dir, "documents"))
+    assert quality.num_shuffles(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# passage dedup
+# ---------------------------------------------------------------------------
+
+
+def test_passage_hashes_windows(spark):
+    ten = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, ten), (2, "short doc")], "doc_id bigint, text string"
+    )
+    out = textops.passage_hashes(df, size=8).collect()
+    # 10 tokens -> exactly one full 8-token passage; 2-token doc -> none
+    assert [(r["doc_id"], r["passage_idx"]) for r in out] == [(1, 0)]
+
+
+def test_passage_dedup_detects_shared_window(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(8))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(8))),
+            (3, " ".join(f"c{i}" for i in range(8))),
+        ],
+        "doc_id bigint, text string",
+    )
+    p = textops.passage_hashes(df, size=8)
+    dup = (
+        p.groupBy("ph")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+    )
+    assert dup.count() == 1  # only the shared leading window
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_masks_and_generalizes(spark):
+    df = spark.createDataFrame(
+        [(7, "Customer#000000007", 3, 1234.56, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    r = pii.scrub_customers(df).collect()[0]
+    assert r["name_masked"] == "Customer##########"
+    assert r["n_digits_masked"] == 9
+    assert r["acctbal_band"] == 1000
+    assert r["name_token"].startswith("cust_") and len(r["name_token"]) == 17
+    # deterministic: same input -> same token
+    assert pii.scrub_customers(df).collect()[0]["name_token"] == r["name_token"]
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    df = pii.scrub_customers(load_table(spark, sf_dir, "customer"))
+    assert quality.num_shuffles(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_bounds_and_error(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = quantize.quantize_int8(df).collect()
+    # zero vector is dropped (documented contract)
+    assert [r["vec_id"] for r in out] == [1]
+    r = out[0]
+    assert r["q_scale"] == 127.0  # max-abs is 1.0
+    # q = [127, -64, 32, 0] -> L1 = 223 (round-half-up on +/-63.5, 31.75->32)
+    assert r["q_l1"] == 127 + 64 + 32
+    assert r["max_abs_err"] <= 0.5 / 127 + 1e-9  # within half a quant step
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    df = quantize.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    assert quality.num_shuffles(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# k-means / IVF
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_is_deterministic(emb):
+    c1 = clustering.kmeans_fit(emb, k=4, iters=2)
+    c2 = clustering.kmeans_fit(emb, k=4, iters=2)
+    assert c1 == c2
+
+
+def test_kmeans_assignment_is_nearest(emb):
+    cents = clustering.kmeans_fit(emb, k=4, iters=2)
+    sample = clustering.assign_clusters(emb, cents).limit(20).collect()
+    for r in sample:
+        v = [float(x) for x in r["embedding"]]
+        dists = {
+            cid: sum((a - b) * (a - b) for a, b in zip(v, c))
+            for cid, c in cents.items()
+        }
+        best = min(dists, key=lambda cid: (round(dists[cid], 6), cid))
+        assert r["cluster"] == best
+
+
+def test_kmeans_iteration_reduces_distortion(emb):
+    d1 = (
+        clustering.assign_clusters(emb, clustering.kmeans_fit(emb, k=8, iters=1))
+        .agg(F.sum("dist2"))
+        .collect()[0][0]
+    )
+    d3 = (
+        clustering.assign_clusters(emb, clustering.kmeans_fit(emb, k=8, iters=3))
+        .agg(F.sum("dist2"))
+        .collect()[0][0]
+    )
+    assert d3 <= d1 + 1e-6  # Lloyd's monotonicity
+
+
+def test_assign_clusters_is_map_only(emb):
+    cents = clustering.kmeans_fit(emb, k=4, iters=1)
+    df = clustering.assign_clusters(emb, cents)
+    assert quality.num_shuffles(df) == 0
+    assert not quality.has_cartesian(df)
