@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from backend_etl_spark.catalog.registry import register
 from backend_etl_spark.session import tune
-from backend_etl_spark.streaming import stateful, windowed
+from backend_etl_spark.streaming import joins, stateful, windowed
 
 
 def _dirs(tag: str) -> tuple[str, str, str]:
@@ -62,6 +62,48 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "streaming_purchase_click_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >  p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase←click attribution) with
+    watermark-bounded state; the drained sink must hash-match the batch
+    interval join over the same events."""
+    tune(spark)
+    src, sink, ckpt = _dirs("ssjoin")
+    windowed.stage_events_source(spark, sf_dir, src)
+    joins.run_purchase_click_attribution(spark, src, sink, ckpt)
+    return spark.read.parquet(sink)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (the J1 tenant-stamping join in
+    streaming form): zero stream state, dimension re-planned per batch."""
+    tune(spark)
+    src, sink, ckpt = _dirs("ssenrich")
+    windowed.stage_events_source(spark, sf_dir, src)
+    joins.run_stream_static_enrich(spark, sf_dir, src, sink, ckpt)
+    return spark.read.parquet(sink)
 
 
 @register(
