@@ -185,6 +185,162 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 4
+                    THEN list_transform(range(len(t) - 3),
+                         i -> md5(array_to_string(t[i+1:i+4], ' ')))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gh
+      FROM toks),
+    ev AS (SELECT DISTINCT gh FROM g WHERE doc_id < 10),
+    tr AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id >= 10)
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_grams,
+           true AS contaminated
+    FROM tr JOIN ev ON tr.gh = ev.gh
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C / PaLM-style): training docs
+    sharing any word n-gram with the held-out eval set (here: doc_id <
+    10; n=4 for this tiny-vocab synthetic corpus — production uses 8-13).
+
+    Scale shape: the eval gram set is benchmark-sized (small by nature),
+    so it broadcasts; the corpus side is a map-only gram explode — one
+    broadcast semi-ish join + one per-doc rollup, never corpus×corpus.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(textops.word_ngrams(F.filter(toks, lambda t: t != ""), 4), F.md5)
+    g = docs.select("doc_id", F.explode(grams).alias("gh"))
+    ev = g.where(F.col("doc_id") < 10).select("gh").distinct()
+    tr = g.where(F.col("doc_id") >= 10).dropDuplicates(["doc_id", "gh"])
+    return (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    j AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * round(ln((SELECT count(*) FROM documents)
+                                    / CAST(dfreq.df AS DOUBLE)), 6), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term)
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM j)
+    WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms — the classic keyword/relevance
+    operator, as explode → two aggregations → join → windowed top-k.
+
+    The document-frequency table is vocabulary-sized; AQE broadcasts it
+    when small and shuffle-joins when not — no driver-side collection of
+    the vocabulary (it can be billions of terms at corpus scale).
+    """
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6)
+    j = tf.join(dfreq, "term").select(
+        "doc_id", "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling (mixture flattening)
+# ---------------------------------------------------------------------------
+
+_MD5_U6 = (
+    "round((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0), 6)"
+)
+
+
+@register(
+    "curation_temperature_resample",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+                 least(1.0, round(0.5 * sqrt((max(n_l) OVER ())
+                                             / CAST(n_l AS DOUBLE)), 6)) AS rate
+          FROM c)
+    SELECT d.doc_id, d.lang, {_MD5_U6} AS u, r.rate,
+           {_MD5_U6} < r.rate AS keep
+    FROM documents d JOIN r ON d.lang = r.lang
+    """,
+)
+def curation_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (τ=0.5) mixture flattening across languages: the
+    largest language keeps 50%, smaller ones keep 0.5·sqrt(max/n) —
+    capped at 1 — so low-resource languages are up-weighted relative to
+    their raw share (the multilingual-pretraining sampling standard).
+
+    Deterministic: the per-doc coin is the md5-uniform of doc_id, and
+    the rate formula uses only max/sqrt/divide (no cross-group sums →
+    no summation-order sensitivity between engines). The per-language
+    rate table is #langs-sized and broadcast.
+    """
+    tune(spark)
+    from backend_etl_spark.operators.curation import md5_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    w_all = Window.partitionBy()  # lang-agg frame: #langs rows, tiny
+    rates = counts.select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(0.5)
+                * F.sqrt(F.max("n_l").over(w_all) / F.col("n_l").cast("double")),
+                6,
+            ),
+        ).alias("rate"),
+    )
+    u = F.round(md5_uniform("doc_id"), 6)
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id", "lang", u.alias("u"), "rate", (u < F.col("rate")).alias("keep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-means (Lloyd's) + IVF built on it
 # ---------------------------------------------------------------------------
 

@@ -125,6 +125,48 @@ def test_quantize_is_map_only(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# decontamination / tf-idf / temperature resample
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_excludes_eval_docs_and_finds_overlap(spark, sf_dir):
+    from backend_etl_spark.catalog import REGISTRY
+
+    out = REGISTRY["decontam_ngram_overlap"].fn(spark, sf_dir).collect()
+    assert all(r["doc_id"] >= 10 for r in out)  # eval docs never flagged
+    assert all(r["n_shared_grams"] >= 1 and r["contaminated"] for r in out)
+
+
+def test_tfidf_rank_bounds_and_common_term_scores_zero(spark, sf_dir):
+    from backend_etl_spark.catalog import REGISTRY
+
+    rows = REGISTRY["tfidf_top_terms"].fn(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_temperature_resample_upweights_small_langs(spark, sf_dir):
+    from backend_etl_spark.catalog import REGISTRY
+
+    rows = REGISTRY["curation_temperature_resample"].fn(spark, sf_dir).collect()
+    rates = {r["lang"]: r["rate"] for r in rows}
+    counts = {}
+    for r in rows:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    biggest = max(counts, key=counts.get)
+    assert rates[biggest] == 0.5  # largest language keeps exactly 50%
+    assert all(0.5 <= v <= 1.0 for v in rates.values())
+    # strictly smaller language -> strictly higher (or capped) rate
+    for lang, n in counts.items():
+        if n < counts[biggest]:
+            assert rates[lang] > 0.5
+
+
+# ---------------------------------------------------------------------------
 # k-means / IVF
 # ---------------------------------------------------------------------------
 
