@@ -11,11 +11,37 @@ from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
 )
 from backend_etl_spark.catalog.registry import REGISTRY, QuerySpec
 
-# Entries the driver already attested green in CORRECTNESS_r01.json.
-# The driver samples a fixed-size prefix of queries() each round, so we
-# rotate: never-attested entries first (registry order preserved within
-# each group) until every entry has a driver-verified correctness row.
+# Entries the driver already attested green in CORRECTNESS_r01.json or
+# CORRECTNESS_r02.json. The driver samples a fixed-size prefix of
+# queries() each round, so we rotate: never-attested entries first
+# (registry order preserved within each group) until every entry has a
+# driver-verified correctness row. The two round-2 FAILs
+# (window_sessionize_events, asof_forward_next_click — TIMESTAMP_NTZ
+# root cause, fixed in sources/loader.py) are deliberately NOT listed so
+# they re-enter the sample and get re-attested green.
 _DRIVER_ATTESTED = frozenset({
+    # --- green in CORRECTNESS_r02.json ---
+    "html_parse_trustpilot", "html_parse_feefo", "twitter_union_three_shapes",
+    "multimodal_decode_ppm", "multimodal_decode_wav",
+    "text_repetition_metrics", "dedup_passage_windows", "pii_scrub_customers",
+    "emb_quantize_int8", "decontam_ngram_overlap", "tfidf_top_terms",
+    "curation_temperature_resample", "kmeans_assignments",
+    "kmeans_cluster_profile", "knn_ivf_kmeans",
+    "setop_intersect_f_and_o_customers", "setop_except_no_f_orders",
+    "topk_orders_by_price", "union_dedup_two_feeds", "events_json_props",
+    "ts_parse_formats", "scalar_function_showcase", "asof_purchase_last_click",
+    "range_join_clicks_before_purchase", "incremental_watermark_scan",
+    "ingest_dedup_anti_join", "q10_returned_items", "q12_priority_split",
+    "q14_promo_revenue", "range_join_binned_global", "q6_forecast_revenue",
+    "q4_priority_with_late_lines", "join_full_outer_nation_presence",
+    "catalog_table_inventory", "subquery_scalar_above_avg",
+    "subquery_in_recent_buyers", "subquery_exists_active_suppliers",
+    "agg_stats_dispersion", "agg_median_price", "window_rank_family",
+    "window_first_last_nth", "pivot_status_counts",
+    "string_functions_showcase", "time_bucket_hourly_events",
+    "orders_monthly_volume", "skew_salted_agg_events",
+    "rollup_multigrain_events", "higher_order_array_ops",
+    # --- green in CORRECTNESS_r01.json ---
     "text_stats", "text_quality", "lang_id_heuristic", "doc_fingerprint",
     "dedup_exact_docs", "dedup_minhash_signatures", "dedup_lsh_candidates",
     "dedup_ngram_jaccard", "dedup_simhash", "knn_brute_force_cosine",

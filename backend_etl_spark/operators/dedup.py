@@ -260,6 +260,7 @@ def cluster_components(
     id_col: str,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Connected components over candidate pairs: every doc gets the MIN
     doc id reachable through the pair graph as its cluster id — turning
@@ -280,6 +281,18 @@ def cluster_components(
     recovers from the checkpoint instead of recomputing a broken
     lineage. Without it (local mode / tests) localCheckpoint is used:
     cheaper, but pinned to executors and not fault-tolerant.
+
+    ``max_degree``: mega-component guard. A pathological hub (e.g.
+    boilerplate text whose shingles LSH-match everything) gives one node
+    millions of edges; its label key then carries the whole component
+    through every round's join+groupBy — the one skew AQE can't split
+    away because it recurs each iteration. When set, edges incident to
+    nodes with degree > max_degree are dropped BEFORE iterating: the hub
+    keeps its own label, its spokes still cluster among themselves
+    through their genuine pairwise edges, and per-round fan-out is
+    bounded by max_degree. Degree-capping before CC is the standard
+    large-graph mitigation; at 100 TB pick max_degree ~ the largest
+    plausible true duplicate-cluster size (e.g. 10^4).
     """
     spark = pairs.sparkSession
     if checkpoint_dir:
@@ -293,6 +306,19 @@ def cluster_components(
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
     )
+    if max_degree is not None:
+        # edges is symmetric, so out-degree on src == full degree. The
+        # hot set (degree > cutoff) is tiny by construction — AQE plans
+        # these anti-joins as broadcasts.
+        hot = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") > max_degree)
+            .select(F.col("src").alias("__hot"))
+        )
+        edges = edges.join(
+            hot, edges.src == hot.__hot, "anti"
+        ).join(hot, edges.dst == hot.__hot, "anti")
     edges = _ckpt(edges)
     # only nodes that occur in a candidate pair can change label; the
     # (vast) isolated majority keeps label = self and skips the loop —

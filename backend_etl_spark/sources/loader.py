@@ -37,14 +37,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
-        # reader rejects; read nanos as LONG and convert (integer `div`,
-        # not float division — ns-epoch exceeds double's 53-bit mantissa).
-        # DuckDB truncates ns→µs on CAST(ts AS TIMESTAMP) the same way.
+        # events.parquet has shipped with two timestamp encodings so far;
+        # normalize both to session-UTC TIMESTAMP here so downstream
+        # operators (unix_micros, watermarks, as-of joins) see one type:
+        #  - TIMESTAMP(NANOS): Spark's reader rejects it; read nanos as
+        #    LONG and convert (integer `div`, not float division —
+        #    ns-epoch exceeds double's 53-bit mantissa). DuckDB truncates
+        #    ns→µs on CAST(ts AS TIMESTAMP) the same way.
+        #  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+        #    TIMESTAMP_NTZ; cast to TIMESTAMP. The session runs in UTC
+        #    (session.py), so the cast is a deterministic relabel and
+        #    matches DuckDB's CAST(ts AS TIMESTAMP) on the same file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

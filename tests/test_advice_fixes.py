@@ -161,3 +161,43 @@ def test_cluster_components_reliable_checkpoint(spark, tmp_path):
     import os
 
     assert any(os.scandir(str(tmp_path / "ckpt")))
+
+
+def test_cluster_components_max_degree_guard(spark):
+    """VERDICT r2 item 7: a pathological hub (star graph) is degree-capped
+    so it can't stall convergence; genuine clusters are untouched."""
+    from backend_etl_spark.operators.dedup import cluster_components
+
+    # star: hub 100 joined to 30 spokes (101..130); plus a real pair (1,2)
+    star = [(100, s) for s in range(101, 131)]
+    pairs = spark.createDataFrame(star + [(1, 2)], "doc_a BIGINT, doc_b BIGINT")
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 100] + list(range(101, 131))], "doc_id BIGINT"
+    )
+
+    # without the guard the star is one component labeled by the hub...
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_components(pairs, ids, "doc_id").collect()
+    }
+    assert full[100] == 100 and all(full[s] == 100 for s in range(101, 131))
+    assert full[1] == 1 and full[2] == 1
+
+    # ...with max_degree=10 the hub's edges drop: hub and spokes keep
+    # self-labels, the genuine (1,2) pair still clusters
+    capped = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_components(pairs, ids, "doc_id", max_degree=10).collect()
+    }
+    assert capped[100] == 100
+    assert all(capped[s] == s for s in range(101, 131))
+    assert capped[1] == 1 and capped[2] == 1
+
+    # bounded rounds: with every edge dropped nothing can change label,
+    # so the loop exits on the first convergence check even with a huge
+    # max_iter budget (guard against pathological-stall regressions)
+    import time
+
+    t0 = time.perf_counter()
+    cluster_components(pairs, ids, "doc_id", max_iter=500, max_degree=10).collect()
+    assert time.perf_counter() - t0 < 60

@@ -25,12 +25,22 @@ def test_join_region_revenue_prunes_columns(spark, sf_dir):
 
 
 def test_no_catalog_query_has_cartesian(spark, sf_dir):
+    """Failure-isolated whole-catalog gate: one unanalyzable entry must
+    be reported by name, not abort the scan of the remaining entries."""
     skip = {"streaming_"}  # streaming entries execute on build, not lazily
+    cartesian: list[str] = []
+    broken: list[str] = []
     for name, spec in REGISTRY.items():
         if any(name.startswith(p) for p in skip):
             continue
-        df = spec.fn(spark, sf_dir)
-        assert not quality.has_cartesian(df), f"{name} plan has CartesianProduct"
+        try:
+            df = spec.fn(spark, sf_dir)
+            if quality.has_cartesian(df):
+                cartesian.append(name)
+        except Exception as exc:  # noqa: BLE001 - collect, report per-entry
+            broken.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not cartesian, f"CartesianProduct in plans: {cartesian}"
+    assert not broken, "entries failed to build/analyze:\n" + "\n".join(broken)
 
 
 def test_knn_brute_force_is_single_broadcast_pass(spark, sf_dir):
