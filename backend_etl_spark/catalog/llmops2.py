@@ -512,3 +512,109 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("q_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: incremental snapshot dedup, leakage-safe splits, entropy gate
+# ---------------------------------------------------------------------------
+
+from backend_etl_spark.catalog.llmops import _NORM, _SIGS_CTE  # noqa: E402
+from backend_etl_spark.operators import curation, dedup  # noqa: E402
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    bands AS (
+      SELECT doc_id, '0' AS band_id, mh0 AS band_value FROM sigs UNION ALL
+      SELECT doc_id, '1', mh1 FROM sigs UNION ALL
+      SELECT doc_id, '2', mh2 FROM sigs UNION ALL
+      SELECT doc_id, '3', mh3 FROM sigs),
+    hits AS (
+      SELECT b.doc_id AS batch_doc_id,
+             count(DISTINCT c.doc_id) AS n_corpus_matches,
+             min(c.doc_id)            AS best_match_id
+      FROM bands b JOIN bands c
+        ON b.band_id = c.band_id AND b.band_value = c.band_value
+      WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+      GROUP BY b.doc_id)
+    SELECT s.doc_id                                    AS batch_doc_id,
+           CAST(coalesce(n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches,
+           best_match_id,
+           hits.batch_doc_id IS NULL                   AS is_novel
+    FROM sigs s LEFT JOIN hits ON hits.batch_doc_id = s.doc_id
+    WHERE s.doc_id % 10 >= 8
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: the incoming batch (doc_id%10
+    >= 8 stands in for 'this week's crawl') is LSH-probed against the
+    existing corpus snapshot (doc_id%10 < 8) — near-dups of the corpus
+    are flagged, novel docs pass. The batch-vs-index probe join is the
+    100 TB shape: corpus bands are a precomputed persisted index, only
+    the (much smaller) batch side moves."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    csig = dedup.minhash_signatures(corpus, "doc_id", "text")
+    bsig = dedup.minhash_signatures(batch, "doc_id", "text")
+    return dedup.incremental_lsh_matches(bsig, csig, "doc_id")
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, md5({_NORM}) AS cluster_key FROM documents),
+    b AS (SELECT doc_id, cluster_key,
+                 ('0x' || substr(md5('split#' || cluster_key), 1, 2))::BIGINT % 100
+                   AS bucket
+          FROM n)
+    SELECT doc_id, cluster_key, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split = hash of the
+    content-dedup cluster key, so duplicate documents can never straddle
+    an eval boundary. Map-only, engine-reproducible (no rand())."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.leakage_safe_split(
+        docs, "doc_id", dedup.content_key(F.col("text"))
+    )
+
+
+@register(
+    "quality_char_entropy",
+    oracle=f"""
+    WITH nn AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    c AS (SELECT doc_id,
+                 list_filter(string_split(norm, ''), x -> x <> '') AS cs
+          FROM nn),
+    m AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS d,
+                 len(cs) AS n
+          FROM c)
+    SELECT doc_id,
+           CAST(n AS BIGINT)      AS n_chars_norm,
+           CAST(len(d) AS BIGINT) AS n_distinct_chars,
+           CASE WHEN n > 0 THEN
+             round(-list_sum(list_transform(d,
+                 ch -> (len(list_filter(cs, x -> x = ch)) / CAST(n AS DOUBLE))
+                       * log2(len(list_filter(cs, x -> x = ch)) / CAST(n AS DOUBLE)))), 4)
+             + 0.0
+           END AS char_entropy_bits
+    FROM m
+    """,
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (perplexity proxy): bits/char over
+    the normalized char distribution. Map-only array expressions; terms
+    summed in sorted-char order so the rounded double is identical in
+    both engines."""
+    tune(spark)
+    return textops.char_entropy(load_table(spark, sf_dir, "documents"))

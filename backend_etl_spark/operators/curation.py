@@ -76,3 +76,36 @@ def token_budget_pack(
         .where(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    cluster_key: Column,
+    weights: tuple[int, int, int] = (80, 10, 10),
+) -> DataFrame:
+    """Train/val/test assignment that can't leak duplicates across
+    splits: the split is a deterministic hash of ``cluster_key`` (NOT of
+    the row id), so every member of a duplicate cluster lands in the
+    same split. Pass ``content_key(text)`` for exact-dup safety or a
+    precomputed ``cluster_id`` from ``cluster_components`` for
+    near-dup safety (eval-contamination discipline).
+
+    Map-only (given the key column): no shuffle, no lookup table —
+    assignment is recomputable row-locally on any engine, any run.
+    """
+    assert sum(weights) == 100, "weights must sum to 100"
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split#"), cluster_key)), 1, 2), 16, 10)
+        .cast("bigint") % 100
+    )
+    train_w, val_w, _ = weights
+    return df.select(
+        F.col(id_col),
+        cluster_key.alias("cluster_key"),
+        bucket.alias("bucket"),
+        F.when(bucket < train_w, "train")
+        .when(bucket < train_w + val_w, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -116,6 +116,35 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def signature_bands(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Melt MinHash signatures into the (id, band_id, band_value) bucket
+    relation — the LSH index layout both the self-join (batch dedup) and
+    the batch-vs-snapshot probe join on. ``rows_per_band`` r concatenates
+    r signature values per band (b = num_hashes/r bands): the classic
+    (b, r) S-curve — larger r sharpens precision, more bands raise
+    recall."""
+    assert num_hashes % rows_per_band == 0, "num_hashes must divide into bands"
+    n_bands = num_hashes // rows_per_band
+    band_vals = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + k}") for k in range(rows_per_band)]
+        )
+        for b in range(n_bands)
+    ]
+    return signatures.select(
+        F.col(id_col),
+        F.stack(
+            F.lit(n_bands),
+            *[x for b, v in enumerate(band_vals) for x in (F.lit(str(b)), v)],
+        ).alias("band_id", "band_value"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -127,29 +156,10 @@ def lsh_candidate_pairs(
     Melt signatures to (band_id, band_value), self-join on the band
     bucket. The join key (band_id, band_value) is high-cardinality and
     uniform (md5), so the shuffle is balanced; bucket sizes bound the
-    pair fan-out.
-
-    ``rows_per_band`` r concatenates r signature values per band
-    (b = num_hashes/r bands): the classic (b, r) LSH S-curve — larger r
-    sharpens precision (a band matches only if ALL r minhashes agree),
-    more bands raise recall. Parity default (r=1) is the permissive end;
-    BASELINE.md records the measured cost/recall curve.
+    pair fan-out. BASELINE.md records the measured (b, r) cost/recall
+    curve; parity default (r=1) is the permissive end.
     """
-    assert num_hashes % rows_per_band == 0, "num_hashes must divide into bands"
-    n_bands = num_hashes // rows_per_band
-    band_vals = [
-        F.concat_ws(
-            "|", *[F.col(f"mh{b * rows_per_band + k}") for k in range(rows_per_band)]
-        )
-        for b in range(n_bands)
-    ]
-    bands = signatures.select(
-        F.col(id_col),
-        F.stack(
-            F.lit(n_bands),
-            *[x for b, v in enumerate(band_vals) for x in (F.lit(str(b)), v)],
-        ).alias("band_id", "band_value"),
-    )
+    bands = signature_bands(signatures, id_col, num_hashes, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -164,6 +174,58 @@ def lsh_candidate_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def incremental_lsh_matches(
+    batch_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Incremental (cross-snapshot) near-dup check: for every document in
+    the incoming BATCH, find near-dup candidates in the existing CORPUS
+    snapshot — the production dedup workflow at 100 TB, where each new
+    crawl is deduped against the already-curated corpus WITHOUT
+    recomputing anything corpus-side (the corpus band index
+    (id, band_id, band_value) is precomputed once and persisted,
+    bucketed on band_value).
+
+    Probe join, not self-join: batch bands ⋈ corpus bands on the band
+    bucket — cost O(|batch| × bucket size), independent of corpus size.
+    The typical batch is orders of magnitude smaller than the corpus, so
+    AQE broadcasts the batch side and the corpus index is only scanned,
+    never shuffled.
+
+    Returns one row per batch doc (including novel ones):
+    (batch_doc_id, n_corpus_matches, best_match_id, is_novel).
+    """
+    bb = signature_bands(batch_sigs, id_col, num_hashes, rows_per_band).select(
+        F.col(id_col).alias("batch_doc_id"), "band_id", "band_value"
+    )
+    cb = signature_bands(corpus_sigs, id_col, num_hashes, rows_per_band).select(
+        F.col(id_col).alias("corpus_doc_id"), "band_id", "band_value"
+    )
+    hits = (
+        bb.join(cb, ["band_id", "band_value"])
+        .groupBy("batch_doc_id")
+        .agg(
+            F.count_distinct("corpus_doc_id").alias("n_corpus_matches"),
+            F.min("corpus_doc_id").alias("best_match_id"),
+        )
+    )
+    return (
+        batch_sigs.select(F.col(id_col).alias("batch_doc_id"))
+        .join(hits, "batch_doc_id", "left")
+        .select(
+            "batch_doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).cast("bigint").alias(
+                "n_corpus_matches"
+            ),
+            F.col("best_match_id"),
+            F.col("n_corpus_matches").isNull().alias("is_novel"),
+        )
     )
 
 

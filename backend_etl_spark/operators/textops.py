@@ -253,3 +253,40 @@ def sentiment_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         .otherwise("neutral")
         .alias("sentiment_class"),
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy (bits/char) over the normalized character
+    distribution — the cheap perplexity proxy used as a pretraining
+    quality gate (gibberish and boilerplate sit at the entropy extremes).
+
+    Map-only: the whole computation is array expressions over the
+    normalized text (no explode, no shuffle). Per-row cost is
+    O(len × distinct-chars); distinct chars are alphabet-bounded
+    (~10²), so this stays linear in corpus size at 100 TB. Terms are
+    summed over the SORTED distinct-char array so the float summation
+    order — and hence the rounded value — is engine-reproducible
+    (the DuckDB oracle sums in the identical order).
+    """
+    chars = F.filter(
+        F.split(normalize_text(F.col(text_col)), ""), lambda c: c != F.lit("")
+    )
+    n = F.size(chars)
+    dist = F.array_sort(F.array_distinct(chars))
+    terms = F.transform(
+        dist,
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n,
+    )
+    ent = -F.aggregate(
+        terms, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars_norm"),
+        F.size(dist).cast("bigint").alias("n_distinct_chars"),
+        # + 0.0 normalizes IEEE -0.0 (single-char docs) to +0.0 so the
+        # value-hash matches engines that produce +0.0
+        F.when(n > 0, F.round(ent, 4) + F.lit(0.0)).alias("char_entropy_bits"),
+    )

@@ -214,3 +214,79 @@ def test_assign_clusters_is_map_only(emb):
     df = clustering.assign_clusters(emb, cents)
     assert quality.num_shuffles(df) == 0
     assert not quality.has_cartesian(df)
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """The invariant the split exists for: rows with identical content
+    NEVER straddle a split boundary, regardless of id."""
+    from backend_etl_spark.operators.curation import leakage_safe_split
+    from backend_etl_spark.operators.dedup import content_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"shared text {i % 7}") for i in range(200)], "doc_id BIGINT, text STRING"
+    )
+    out = leakage_safe_split(df, "doc_id", content_key(F.col("text")))
+    per_key = out.groupBy("cluster_key").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    assert per_key.where(F.col("n_splits") > 1).count() == 0
+    # all three splits are populated over enough distinct clusters
+    big = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(300)], "doc_id BIGINT, text STRING"
+    )
+    splits = {
+        r["split"]
+        for r in leakage_safe_split(big, "doc_id", content_key(F.col("text")))
+        .select("split").distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}
+
+
+def test_incremental_lsh_flags_known_dup_and_passes_novel(spark):
+    """A batch doc that is a near-copy of a corpus doc is flagged with
+    that corpus doc as best match; an unrelated doc is novel."""
+    from backend_etl_spark.operators.dedup import (
+        incremental_lsh_matches,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus content about spark shuffles"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (101, "zebras graze quietly beside the wide african river basin"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["batch_doc_id"]: r
+        for r in incremental_lsh_matches(
+            minhash_signatures(batch, "doc_id", "text"),
+            minhash_signatures(corpus, "doc_id", "text"),
+            "doc_id",
+        ).collect()
+    }
+    assert out[100]["best_match_id"] == 1 and not out[100]["is_novel"]
+    assert out[101]["is_novel"] and out[101]["n_corpus_matches"] == 0
+
+
+def test_char_entropy_extremes(spark):
+    """Entropy orders texts correctly: single-repeated-char ~ 0 bits,
+    varied text higher; empty text -> NULL."""
+    from backend_etl_spark.operators.textops import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "the quick brown fox 123!"), (3, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert rows[1]["char_entropy_bits"] == 0.0
+    assert rows[2]["char_entropy_bits"] > 3.0
+    assert rows[3]["char_entropy_bits"] is None
