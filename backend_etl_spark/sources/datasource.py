@@ -87,6 +87,17 @@ class FixtureFeedReader(DataSourceReader):
         self.ts_key = options.get("ts_key")
         self.since = options.get("since")
         self.until = options.get("until")
+        # F11: a reference-shaped search query string ("@user OR #user
+        # since:.. until:..") is accepted as the window serialization —
+        # parsed back into the same since/until pushdown as the explicit
+        # options (explicit options win if both are given).
+        q = options.get("search_query")
+        if q:
+            from backend_etl_spark.functions.query_template import parse_search_query
+
+            parsed = parse_search_query(q)
+            self.since = self.since or parsed["since"].isoformat()
+            self.until = self.until or parsed["until"].isoformat()
         self.max_items = int(options.get("max_items", 0)) or None
         # bounded retry/backoff (W6): the reference wraps every page fetch
         # in task-level retries with countdown (tasks.py:109,133,203);

@@ -191,3 +191,46 @@ def test_stream_max_pages_per_trigger(spark, tmp_path):
     ids = lambda df: sorted(json.loads(r["item"])["id"] for r in df.collect())
     assert ids(spark.read.parquet(s1)) == ids(b)
     assert b.count() == 10  # unthrottled: one gulp
+
+
+def test_search_query_template_roundtrip_and_pushdown(spark, tmp_path):
+    """F11: the reference-shaped query string is built, parsed back, and
+    drives the SAME time-window pushdown as explicit since/until."""
+    from backend_etl_spark.functions.query_template import (
+        parse_search_query,
+        reddit_queries,
+        twitter_search_query,
+    )
+
+    since = dt.datetime(2023, 11, 1, 0, 0, 0)
+    until = dt.datetime(2023, 12, 1, 0, 0, 0)
+    q = twitter_search_query("acme_hq", since, until)
+    # exact reference rendering (twitter_scraper.py:27,57-59)
+    assert q == ("@acme_hq OR #acme_hq "
+                 "since:2023-11-01_00:00:00_UTC until:2023-12-01_00:00:00_UTC")
+    parsed = parse_search_query(q)
+    assert parsed == {"username": "acme_hq", "since": since, "until": until}
+    assert reddit_queries("acme.com") == ["url:acme.com", "acme.com"]
+    with pytest.raises(ValueError):
+        parse_search_query("plain text")
+    with pytest.raises(ValueError):
+        parse_search_query("@a OR #b since:x until:y")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "page_000.jsonl", "w") as fh:
+        for day, i in [("10-15", 0), ("11-15", 1), ("11-20", 2), ("12-15", 3)]:
+            fh.write(json.dumps({"id": i, "createdAt": f"2023-{day}T12:00:00"}) + "\n")
+    spark.dataSource.register(FixtureFeedDataSource)
+
+    def load(**opts):
+        r = spark.read.format("fixture_feed").option("path", str(feed)).option(
+            "ts_key", "createdAt"
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return {json.loads(row["item"])["id"] for row in r.load().collect()}
+
+    via_query = load(search_query=q)
+    via_options = load(since=since.isoformat(), until=until.isoformat())
+    assert via_query == via_options == {1, 2}
