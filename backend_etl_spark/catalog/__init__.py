@@ -7,6 +7,7 @@ from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
     nested,
     relational,
     relational2,
+    relational3,
     streamingq,
 )
 from backend_etl_spark.catalog.registry import REGISTRY, QuerySpec
