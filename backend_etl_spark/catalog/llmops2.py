@@ -594,21 +594,27 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH nn AS (SELECT doc_id, {_NORM} AS norm FROM documents),
     c AS (SELECT doc_id,
-                 list_filter(string_split(norm, ''), x -> x <> '') AS cs
+                 list_sort(list_filter(string_split(norm, ''), x -> x <> '')) AS srt
           FROM nn),
-    m AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS d,
-                 len(cs) AS n
-          FROM c)
+    m AS (SELECT doc_id, srt, len(srt) AS n,
+                 list_filter(range(len(srt)),
+                             i -> i = 0 OR srt[i+1] <> srt[i]) AS bounds
+          FROM c),
+    r AS (SELECT doc_id, n, len(bounds) AS n_distinct,
+                 list_transform(range(len(bounds)),
+                                j -> coalesce(bounds[j+2], n) - bounds[j+1]) AS runs
+          FROM m)
     SELECT doc_id,
-           CAST(n AS BIGINT)      AS n_chars_norm,
-           CAST(len(d) AS BIGINT) AS n_distinct_chars,
+           CAST(n AS BIGINT)          AS n_chars_norm,
+           CAST(n_distinct AS BIGINT) AS n_distinct_chars,
            CASE WHEN n > 0 THEN
-             round(-list_sum(list_transform(d,
-                 ch -> (len(list_filter(cs, x -> x = ch)) / CAST(n AS DOUBLE))
-                       * log2(len(list_filter(cs, x -> x = ch)) / CAST(n AS DOUBLE)))), 4)
+             round(log2(CAST(n AS DOUBLE))
+                   - list_sum(list_transform(runs,
+                         rr -> CAST(rr AS DOUBLE) * log2(CAST(rr AS DOUBLE))))
+                     / CAST(n AS DOUBLE), 4)
              + 0.0
            END AS char_entropy_bits
-    FROM m
+    FROM r
     """,
 )
 def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,3 +624,46 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     tune(spark)
     return textops.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "emb_matryoshka_truncate",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    t AS (SELECT vec_id, v, v[1:8] AS tv FROM e)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dim_full,
+           CAST(8 AS BIGINT)      AS dim_trunc,
+           round(list_sum(list_transform(tv, x -> x * x))
+                 / list_sum(list_transform(v, x -> x * x)), 6) AS retained_energy,
+           round(tv[1] / sqrt(list_sum(list_transform(tv, x -> x * x))), 6)
+             AS lead_component
+    FROM t
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimensionality reduction: keep the first k=8
+    dims, renormalize, and report the retained-energy fraction (the
+    cosine-fidelity bound for truncated retrieval). Map-only array
+    expressions — at 100 TB this is the cheap first stage of a
+    coarse-to-fine ANN funnel (search truncated, re-rank full-dim).
+    Float components are cast to double BEFORE any arithmetic and summed
+    in array order, so the DuckDB oracle reproduces the rounded values
+    exactly."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def sq(a):
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    t = F.slice(v, 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dim_full"),
+        F.lit(8).cast("bigint").alias("dim_trunc"),
+        F.round(sq(t) / sq(v), 6).alias("retained_energy"),
+        F.round(F.element_at(t, 1) / F.sqrt(sq(t)), 6).alias("lead_component"),
+    )

@@ -61,6 +61,16 @@ BENCH_QUERIES = [
     "twitter_union_three_shapes",
     "multimodal_decode_ppm",
     "multimodal_decode_wav",
+    # round 3 additions
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_pushdown",
+    "q21_waiting_orders",
+    "dedup_incremental_snapshot",
+    "split_leakage_safe",
+    "quality_char_entropy",
 ]
 
 
