@@ -667,3 +667,177 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq(t) / sq(v), 6).alias("retained_energy"),
         F.round(F.element_at(t, 1) / F.sqrt(sq(t)), 6).alias("lead_component"),
     )
+
+
+@register(
+    "quality_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(t) >= 2
+                              THEN list_transform(range(len(t) - 1),
+                                   i -> t[i+1] || ' ' || t[i+2])
+                              ELSE CAST([] AS VARCHAR[]) END) AS bigram
+           FROM toks),
+    bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    ctx AS (SELECT string_split(bigram, ' ')[1] AS w, sum(c) AS cc
+            FROM bc GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    scored AS (
+      SELECT bg.doc_id,
+             log2((bc.c + 1) / CAST(ctx.cc + vocab AS DOUBLE)) AS lp
+      FROM bg
+        JOIN bc USING (bigram)
+        JOIN ctx ON ctx.w = string_split(bg.bigram, ' ')[1]
+        CROSS JOIN v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4)        AS avg_log2p,
+           round(pow(2, -avg(lp)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality filter (the KenLM-perplexity shape used
+    by CCNet/RedPajama, self-trained here): per-doc mean log2 P(w2|w1)
+    under Laplace smoothing, and its perplexity.
+
+    Scale shape: the LM is two linear aggregates over exploded bigrams
+    (Zipf-bounded output, NOT corpus-sized); scoring is equi-joins of
+    doc bigrams against those stats — no all-pairs step anywhere, and
+    the vocab scalar rides a broadcast 1-row frame. At 100 TB the stats
+    tables persist once and every new crawl scores against them
+    map-side."""
+    tune(spark)
+    from backend_etl_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = doc_shingles(docs, "doc_id", "text", n=2, distinct=False).select(
+        "doc_id", F.col("shingle").alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bc.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w")).agg(
+        F.sum("c").alias("cc")
+    )
+    from backend_etl_spark.functions.scalars import tokens
+
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+    lp = F.log2((F.col("c") + 1) / (F.col("cc") + F.col("vocab")).cast("double"))
+    return (
+        bg.join(bc, "bigram")
+        .join(ctx, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_log2p"),
+            F.round(F.pow(F.lit(2.0), -F.avg("lp")), 4).alias("perplexity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) on the k-means machinery
+# ---------------------------------------------------------------------------
+
+_PQ_K = 4
+_PQ_ITERS = 2
+_PQ_DIM = 64  # fixture embedding dim (asserted at runtime)
+_PQ_HALF = _PQ_DIM // 2
+
+
+def _pq_cte(prefix: str, lo: int, hi: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
+    """Unrolled Lloyd's over ONE PQ subspace (components lo..hi,
+    1-based inclusive) — the _kmeans_cte recipe with all CTE names
+    prefixed so two subspaces coexist in one WITH clause."""
+    p = prefix
+    sql = f"""
+    {p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS v
+             FROM embeddings),
+    {p}c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM {p}e
+            WHERE vec_id % greatest((SELECT count(*) FROM {p}e) // {k}, 1) = 0
+            ORDER BY vec_id LIMIT {k}))"""
+    for i in range(iters):
+        sql += f""",
+    {p}d{i} AS (
+      SELECT e.vec_id, e.v, c.cid,
+             round(list_reduce(list_transform(range(len(e.v)),
+                   j -> (e.v[j+1] - c.cv[j+1]) * (e.v[j+1] - c.cv[j+1])),
+                   (x, y) -> x + y), 6) AS dd
+      FROM {p}e e, {p}c{i} c),
+    {p}a{i} AS (
+      SELECT vec_id, v, cid AS cluster, dd
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM {p}d{i})
+      WHERE rn = 1)"""
+        if i < iters - 1:
+            sql += f""",
+    {p}c{i + 1} AS (
+      SELECT cluster AS cid, array_agg(cv_d ORDER BY dim) AS cv
+      FROM (SELECT cluster, dim, round(avg(val), 6) AS cv_d
+            FROM (SELECT cluster, unnest(v) AS val,
+                         generate_subscripts(v, 1) AS dim
+                  FROM {p}a{i})
+            GROUP BY cluster, dim)
+      GROUP BY cluster)"""
+    return sql
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH {_pq_cte("s0_", 1, _PQ_HALF)},
+    {_pq_cte("s1_", _PQ_HALF + 1, _PQ_DIM)}
+    SELECT a.vec_id,
+           CAST(a.cluster AS BIGINT) AS code0,
+           CAST(b.cluster AS BIGINT) AS code1,
+           a.dd AS err2_sub0,
+           b.dd AS err2_sub1,
+           round(a.dd + b.dd, 6) AS err2_total
+    FROM s0_a{_PQ_ITERS - 1} a JOIN s1_a{_PQ_ITERS - 1} b USING (vec_id)
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the 64-dim embedding is split into two
+    32-dim subspaces, each vector quantized to its subspace's nearest
+    k-means codeword — a (code0, code1) byte pair replaces 256 bytes of
+    floats (the memory layout IVF-PQ indexes search at billion scale).
+    Per-subspace squared reconstruction error is reported; asymmetric
+    distance tables would be built from the same codebooks.
+
+    Scale shape: each subspace fit is the kmeans machinery (map-only
+    assignment + k×dim-row update shuffle); encoding is map-only; the
+    final code join is vec_id-keyed. The oracle unrolls both subspace
+    fits in one WITH clause (prefixed CTEs)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = {
+        0: emb.select("vec_id", F.slice("embedding", 1, _PQ_HALF).alias("embedding")),
+        1: emb.select(
+            "vec_id",
+            F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF).alias("embedding"),
+        ),
+    }
+    coded = {}
+    for s, df in sub.items():
+        cents = clustering.kmeans_fit(df, k=_PQ_K, iters=_PQ_ITERS)
+        assert len(next(iter(cents.values()))) == _PQ_HALF, (
+            "fixture embedding dim changed; update _PQ_DIM and the oracle"
+        )
+        coded[s] = clustering.assign_clusters(df, cents).select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias(f"code{s}"),
+            F.col("dist2").alias(f"err2_sub{s}"),
+        )
+    return (
+        coded[0]
+        .join(coded[1], "vec_id")
+        .withColumn("err2_total", F.round(F.col("err2_sub0") + F.col("err2_sub1"), 6))
+    )
