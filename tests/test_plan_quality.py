@@ -246,3 +246,20 @@ def test_spread_noop_when_already_wide(spark):
     narrow = spark.range(100).coalesce(1)
     assert spread(narrow).rdd.getNumPartitions() == target
     assert spread(narrow, "id").rdd.getNumPartitions() == target
+
+
+def test_q8_deep_join_is_single_shuffle_all_broadcast(spark, sf_dir):
+    """The 7-table TPC-H Q8 must keep lineitem as the only moving side:
+    every dimension broadcast, exactly one shuffle (the final agg)."""
+    df = REGISTRY["q8_market_share"].fn(spark, sf_dir)
+    assert quality.num_shuffles(df) == 1, quality.plan_text(df)
+    assert quality.has_broadcast_join(df)
+
+
+def test_incremental_snapshot_probe_is_equi_join(spark, sf_dir):
+    """Batch-vs-corpus LSH probe must plan as hash equi-joins on the band
+    bucket — never nested-loop/cartesian."""
+    df = REGISTRY["dedup_incremental_snapshot"].fn(spark, sf_dir)
+    txt = quality.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert not quality.has_cartesian(df)
