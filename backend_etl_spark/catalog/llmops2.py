@@ -841,3 +841,119 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(coded[1], "vec_id")
         .withColumn("err2_total", F.round(F.col("err2_sub0") + F.col("err2_sub1"), 6))
     )
+
+
+@register(
+    "knn_ivf_multiprobe",
+    oracle=f"""
+    WITH {_kmeans_cte()},
+    probes AS (
+      SELECT vec_id AS q_id, v AS qv, cid AS pc
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS pr
+            FROM d{_KM_ITERS - 1} WHERE vec_id < 5)
+      WHERE pr <= 2),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id,
+             round(
+               list_reduce(list_transform(range(len(p.qv)),
+                           j -> p.qv[j+1] * a.v[j+1]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(len(p.qv)),
+                         j -> p.qv[j+1] * p.qv[j+1]), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(len(a.v)),
+                         j -> a.v[j+1] * a.v[j+1]), (x, y) -> x + y))),
+               6) AS cosine
+      FROM probes p JOIN {_KM_FINAL} a
+        ON a.cluster = p.pc AND a.vec_id <> p.q_id)
+    SELECT q_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 3
+    """,
+)
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2): each query searches its TWO
+    nearest centroids' inverted lists — the standard recall/cost knob
+    when nprobe=1 misses neighbors that fell across a Voronoi boundary.
+    Still an equi-join on cluster id (probe pairs explode map-side);
+    cost is 2 lists per query instead of k-fold or all-pairs."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = clustering.assign_clusters(emb, cents)
+    dbl = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), dbl.alias("cv"), "cluster"
+    )
+    queries = (
+        clustering.probe_clusters(emb.where(F.col("vec_id") < 5), cents, nprobe=2)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            dbl.alias("qv"),
+            F.explode("probes").alias("pc"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("pc")) & (F.col("neighbor_id") != F.col("q_id")),
+    ).select("q_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH m AS (SELECT doc_id, (doc_id % 50) + 10 AS n FROM documents),
+    c AS (SELECT doc_id, n,
+                 unnest(range(0, n, 8)) AS start_sample,
+                 generate_subscripts(range(0, n, 8), 1) - 1 AS chunk_idx
+          FROM m)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT)    AS chunk_idx,
+           CAST(start_sample AS BIGINT) AS start_sample,
+           CAST(least(start_sample + 16, n) AS BIGINT) AS end_sample,
+           CAST(least(start_sample + 16, n) - start_sample AS BIGINT) AS n_in_chunk,
+           least(start_sample + 16, n) - start_sample = 16 AS is_full
+    FROM c
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing for feature extraction: decode each WAV container
+    (REAL stdlib-wave parse via the Arrow-batched decode stage), then
+    plan overlapping 16-sample windows with an 8-sample hop from the
+    DECODED n_samples — the chunking an ASR/embedding pipeline feeds its
+    models. Map-only fan-out (sequence + posexplode); the oracle
+    recomputes from the fixture's sample-count formula, so a decode
+    regression surfaces as a value mismatch."""
+    tune(spark)
+    from backend_etl_spark.operators.multimodal import (
+        decode_audio_meta,
+        encode_wav_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = decode_audio_meta(encode_wav_fixture(docs)).select("doc_id", "n_samples")
+    starts = F.sequence(
+        F.lit(0).cast("bigint"), F.col("n_samples") - 1, F.lit(8).cast("bigint")
+    )
+    end = F.least(F.col("start_sample") + 16, F.col("n_samples"))
+    return (
+        meta.select(
+            "doc_id",
+            "n_samples",
+            F.posexplode(starts).alias("chunk_idx", "start_sample"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start_sample").cast("bigint").alias("start_sample"),
+            end.cast("bigint").alias("end_sample"),
+            (end - F.col("start_sample")).cast("bigint").alias("n_in_chunk"),
+            ((end - F.col("start_sample")) == 16).alias("is_full"),
+        )
+    )

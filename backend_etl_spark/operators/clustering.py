@@ -122,3 +122,31 @@ def kmeans_fit(
             new_cents[cid] = [dims[d] for d in range(dim)]
         cents = new_cents
     return cents
+
+
+def probe_clusters(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    nprobe: int = 2,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: adds ``probes`` — the ``nprobe`` nearest
+    centroid ids in distance order (ties on cluster id). Same map-only
+    literal-centroid argsort as assign_clusters; exploding ``probes``
+    yields the (row, probe_cluster) relation an IVF search joins on.
+    nprobe is THE recall/cost knob at scale: probe cost grows linearly,
+    recall approaches exact as nprobe → k."""
+    v = _as_double(F.col(emb_col))
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_dist2(v, cent), DIST_DP).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cent in sorted(centroids.items())
+            ]
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+    return df.withColumn("probes", probes)

@@ -290,3 +290,24 @@ def test_char_entropy_extremes(spark):
     assert rows[1]["char_entropy_bits"] == 0.0
     assert rows[2]["char_entropy_bits"] > 3.0
     assert rows[3]["char_entropy_bits"] is None
+
+
+def test_probe_clusters_first_probe_is_assignment(spark, sf_dir):
+    """nprobe=1 must reduce to the plain nearest-centroid assignment."""
+    from backend_etl_spark.operators import clustering
+    from backend_etl_spark.sources.loader import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents = clustering.kmeans_fit(emb, k=4, iters=2)
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in clustering.assign_clusters(emb, cents).collect()
+    }
+    probed = {
+        r["vec_id"]: r["probes"]
+        for r in clustering.probe_clusters(emb, cents, nprobe=2).collect()
+    }
+    for vid, probes in probed.items():
+        assert probes[0] == assigned[vid]
+        assert len(probes) == 2 and probes[0] != probes[1]
