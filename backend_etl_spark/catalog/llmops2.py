@@ -957,3 +957,98 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((end - F.col("start_sample")) == 16).alias("is_full"),
         )
     )
+
+
+@register(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH {_pq_cte("s0_", 1, _PQ_HALF)},
+    {_pq_cte("s1_", _PQ_HALF + 1, _PQ_DIM)},
+    codes AS (
+      SELECT a.vec_id, a.cluster AS code0, b.cluster AS code1
+      FROM s0_a{_PQ_ITERS - 1} a JOIN s1_a{_PQ_ITERS - 1} b USING (vec_id)),
+    adt0 AS (
+      SELECT q.vec_id AS q_id, c.cid,
+             round(list_reduce(list_transform(range(len(q.v)),
+                   j -> (q.v[j+1] - c.cv[j+1]) * (q.v[j+1] - c.cv[j+1])),
+                   (x, y) -> x + y), 6) AS d
+      FROM (SELECT vec_id, v FROM s0_e WHERE vec_id < 5) q,
+           s0_c{_PQ_ITERS - 1} c),
+    adt1 AS (
+      SELECT q.vec_id AS q_id, c.cid,
+             round(list_reduce(list_transform(range(len(q.v)),
+                   j -> (q.v[j+1] - c.cv[j+1]) * (q.v[j+1] - c.cv[j+1])),
+                   (x, y) -> x + y), 6) AS d
+      FROM (SELECT vec_id, v FROM s1_e WHERE vec_id < 5) q,
+           s1_c{_PQ_ITERS - 1} c),
+    scored AS (
+      SELECT a0.q_id, x.vec_id AS neighbor_id,
+             round(a0.d + a1.d, 6) AS approx_dist2
+      FROM codes x
+        JOIN adt0 a0 ON a0.cid = x.code0
+        JOIN adt1 a1 ON a1.cid = x.code1 AND a1.q_id = a0.q_id
+      WHERE x.vec_id <> a0.q_id)
+    SELECT q_id, neighbor_id, approx_dist2, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY approx_dist2, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC — the FAISS
+    IndexPQ layout): the corpus side is scanned as ONLY its
+    (code0, code1) byte pair — full vectors never move — while each
+    query carries a tiny k-entry distance table per subspace
+    (dist(query_sub, codeword), computed map-side against the literal
+    codebooks). approx_dist2 = two array lookups + an add per corpus
+    code. At 100 TB the 256x memory cut is what lets the index fit hot
+    storage; composing with the coarse quantizer (the cluster equi-join
+    of knn_ivf_kmeans) turns this exhaustive ADC scan into IVF-PQ, and
+    exact re-rank of the survivors (knn_brute_force_cosine shape)
+    completes the funnel."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = {
+        0: F.slice("embedding", 1, _PQ_HALF),
+        1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
+    }
+    from backend_etl_spark.operators.clustering import _dist2, _as_double
+
+    codebooks, coded = {}, None
+    for s, sl in halves.items():
+        sub = emb.select("vec_id", sl.alias("embedding"))
+        codebooks[s] = clustering.kmeans_fit(sub, k=_PQ_K, iters=_PQ_ITERS)
+        c = clustering.assign_clusters(sub, codebooks[s]).select(
+            "vec_id", F.col("cluster").alias(f"code{s}")
+        )
+        coded = c if coded is None else coded.join(c, "vec_id")
+
+    # per-query ADC tables: k rounded squared distances per subspace,
+    # ordered by codeword id (array position = code)
+    adt = [
+        F.array(
+            *[
+                F.round(_dist2(_as_double(halves[s]), cw), 6)
+                for _, cw in sorted(codebooks[s].items())
+            ]
+        ).alias(f"adt{s}")
+        for s in halves
+    ]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), *adt
+    )
+    approx = F.round(
+        F.element_at(F.col("adt0"), F.col("code0") + 1)
+        + F.element_at(F.col("adt1"), F.col("code1") + 1),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist2"), F.asc("neighbor_id"))
+    return (
+        coded.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", approx.alias("approx_dist2"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+    )
