@@ -1052,3 +1052,197 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "dataset_card_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, lang, n_chars,
+                      len({_TOKS}) AS n_tokens,
+                      md5({_NORM}) AS ck
+               FROM documents),
+    dup AS (SELECT ck FROM d GROUP BY ck HAVING count(*) > 1)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+           round(avg(n_chars), 2)          AS avg_chars,
+           CAST(min(n_chars) AS BIGINT)    AS min_chars,
+           CAST(max(n_chars) AS BIGINT)    AS max_chars,
+           CAST(count(dup.ck) AS BIGINT)   AS n_exact_dup_docs
+    FROM d LEFT JOIN dup ON d.ck = dup.ck
+    GROUP BY source, lang
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile: per (source, language) slice — doc and
+    token counts, length envelope, and exact-duplicate incidence — the
+    table a curation pipeline publishes alongside every corpus release.
+    Two linear shuffles (dup-key aggregate, slice rollup); the dup set
+    is Zipf-small so AQE broadcasts the join back."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+    from backend_etl_spark.operators.dedup import content_key
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        content_key(F.col("text")).alias("ck"),
+    )
+    dup = (
+        d.groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("ck", F.lit(1).alias("is_dup"))
+    )
+    return (
+        d.join(dup, "ck", "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.count("is_dup").cast("bigint").alias("n_exact_dup_docs"),
+        )
+    )
+
+
+_COS_SQL_QA = """round(
+               list_reduce(list_transform(range(len(q.qv)),
+                           j -> q.qv[j+1] * a.v[j+1]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(len(q.qv)),
+                         j -> q.qv[j+1] * q.qv[j+1]), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(len(a.v)),
+                         j -> a.v[j+1] * a.v[j+1]), (x, y) -> x + y))),
+               6)"""
+
+
+@register(
+    "knn_ivf_recall_at_3",
+    oracle=f"""
+    WITH {_kmeans_cte()},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM {_KM_FINAL} WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id AS q_id, cid AS pc, pr
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS pr
+            FROM d{_KM_ITERS - 1} WHERE vec_id < 5)
+      WHERE pr <= 2),
+    brute AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {_COS_SQL_QA} DESC, a.vec_id) AS rnk
+        FROM q, {_KM_FINAL} a WHERE a.vec_id <> q.q_id)
+      WHERE rnk <= 3),
+    cand AS (
+      SELECT q.q_id, p.pr, a.vec_id AS neighbor_id, {_COS_SQL_QA} AS cosine
+      FROM probes p
+        JOIN q ON q.q_id = p.q_id
+        JOIN {_KM_FINAL} a ON a.cluster = p.pc AND a.vec_id <> p.q_id),
+    approx1 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM cand WHERE pr = 1)
+      WHERE rnk <= 3),
+    approx2 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM cand)
+      WHERE rnk <= 3),
+    h1 AS (SELECT b.q_id, count(a.neighbor_id) AS n_hit
+           FROM brute b LEFT JOIN approx1 a
+             ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+           GROUP BY b.q_id),
+    h2 AS (SELECT b.q_id, count(a.neighbor_id) AS n_hit
+           FROM brute b LEFT JOIN approx2 a
+             ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+           GROUP BY b.q_id)
+    SELECT round(avg(h1.n_hit / 3.0), 4) AS recall_nprobe1,
+           round(avg(h2.n_hit / 3.0), 4) AS recall_nprobe2,
+           CAST(count(*) AS BIGINT)      AS n_queries
+    FROM h1 JOIN h2 ON h1.q_id = h2.q_id
+    """,
+)
+def knn_ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN evaluation loop: recall@3 of IVF search at nprobe=1 vs
+    nprobe=2 against the exact brute-force top-3 — the measurement that
+    picks nprobe in production instead of asserting it. One candidate
+    relation (probe rank carried through) feeds both operating points;
+    every pipeline stage is replayed in the oracle."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = clustering.assign_clusters(emb, cents)
+    dbl = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), dbl.alias("cv"), "cluster"
+    )
+    queries = (
+        clustering.probe_clusters(emb.where(F.col("vec_id") < 5), cents, nprobe=2)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            dbl.alias("qv"),
+            F.posexplode("probes").alias("pr0", "pc"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("pc")) & (F.col("neighbor_id") != F.col("q_id")),
+    ).select(
+        "q_id", "pr0", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+
+    def top3(df):
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("q_id", "neighbor_id")
+        )
+
+    approx1 = top3(cand.where(F.col("pr0") == 0))
+    approx2 = top3(cand)
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("bq_id"), dbl.alias("qv")
+    )
+    brute = (
+        corpus.crossJoin(F.broadcast(qset))
+        .where(F.col("neighbor_id") != F.col("bq_id"))
+        .select(
+            F.col("bq_id").alias("q_id"),
+            "neighbor_id",
+            _cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id")
+    )
+
+    def hits(approx):
+        a = approx.select(
+            F.col("q_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+        )
+        return (
+            brute.join(
+                a,
+                (F.col("q_id") == F.col("a_q"))
+                & (F.col("neighbor_id") == F.col("a_n")),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(F.count("a_n").alias("n_hit"))
+        )
+    h1 = hits(approx1).select(F.col("q_id"), F.col("n_hit").alias("h1"))
+    h2 = hits(approx2).select(F.col("q_id").alias("q2"), F.col("n_hit").alias("h2"))
+    return (
+        h1.join(h2, F.col("q_id") == F.col("q2"))
+        .agg(
+            F.round(F.avg(F.col("h1") / 3.0), 4).alias("recall_nprobe1"),
+            F.round(F.avg(F.col("h2") / 3.0), 4).alias("recall_nprobe2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        )
+    )
