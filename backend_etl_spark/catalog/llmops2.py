@@ -704,11 +704,14 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     under Laplace smoothing, and its perplexity.
 
     Scale shape: the LM is two linear aggregates over exploded bigrams
-    (Zipf-bounded output, NOT corpus-sized); scoring is equi-joins of
-    doc bigrams against those stats — no all-pairs step anywhere, and
-    the vocab scalar rides a broadcast 1-row frame. At 100 TB the stats
-    tables persist once and every new crawl scores against them
-    map-side."""
+    (Zipf-bounded output, NOT corpus-sized); the per-bigram logprob is
+    assembled stats-side, so corpus rows shuffle exactly twice (onto the
+    bigram key for the stats join, back onto doc_id for the rollup) — no
+    all-pairs step anywhere, and the vocab scalar rides a broadcast
+    1-row frame. The static plan shows extra Exchanges, but they all sit
+    on the small stats relations; AQE broadcasts those at runtime. At
+    100 TB the stats tables persist once and every new crawl scores
+    against them map-side."""
     tune(spark)
     from backend_etl_spark.operators.dedup import doc_shingles
 
@@ -726,12 +729,18 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .agg(F.count_distinct("tok").alias("vocab"))
     )
+    # assemble the per-bigram logprob on the STATS side (Zipf-bounded
+    # distinct bigrams), so the corpus-sized bg relation shuffles only
+    # twice: once onto the bigram key for the stats join, once back onto
+    # doc_id for the rollup — the ctx/vocab joins never touch corpus rows
     lp = F.log2((F.col("c") + 1) / (F.col("cc") + F.col("vocab")).cast("double"))
-    return (
-        bg.join(bc, "bigram")
-        .join(ctx, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w"))
+    lp_per_bigram = (
+        bc.join(ctx, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w"))
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", lp.alias("lp"))
+        .select("bigram", lp.alias("lp"))
+    )
+    return (
+        bg.join(lp_per_bigram, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
