@@ -1255,3 +1255,137 @@ def knn_ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         )
     )
+
+
+@register(
+    "pack_sequences_2048",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n,
+                      md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 sum(n) OVER (ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT)                        AS n_tokens,
+           CAST(floor((cum - n) / 2048) AS BIGINT)  AS seq_id,
+           CAST(cum - n - 2048 * floor((cum - n) / 2048) AS BIGINT)
+                                                    AS offset_in_seq,
+           CAST(floor((cum - 1) / 2048)
+                - floor((cum - n) / 2048) + 1 AS BIGINT) AS n_seqs_spanned
+    FROM c
+    """,
+)
+def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in
+    hash-deterministic order and chunked into 2048-token training
+    sequences; each doc gets its sequence id, offset, and how many
+    sequence boundaries it straddles. Deterministic (no rand()) and
+    engine-reproducible.
+
+    The global running sum is the cost center at 100 TB — same caveat
+    as curation_token_budget_pack: shard by a partition key (language,
+    shard hash) and pack within shards, which is what training-data
+    builders do anyway to keep shuffle-files bounded."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n").over(w)
+    start = cum - F.col("n")
+    return docs.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.floor(start / 2048).cast("bigint").alias("seq_id"),
+        (start - 2048 * F.floor(start / 2048)).cast("bigint").alias("offset_in_seq"),
+        (F.floor((cum - 1) / 2048) - F.floor(start / 2048) + 1)
+        .cast("bigint")
+        .alias("n_seqs_spanned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (first merges)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_cte(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled BPE training as DuckDB CTEs, mirroring
+    operators/textops.bpe_train_merges byte-for-byte: sentinel-wrapped
+    symbol strings, literal replace() merges, argmax on
+    (count DESC, l||chr(30)||r ASC)."""
+    S, SS = "chr(31)", "chr(31)||chr(31)"
+    sym = f"string_split(substr(s, 2, len(s) - 2), {SS})"
+    sql = f"""
+    wrd AS (SELECT word, count(*) AS freq
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            WHERE NOT contains(word, chr(31)) AND NOT contains(word, chr(30))
+            GROUP BY word),
+    s0 AS (SELECT {S} || array_to_string(
+                    list_filter(string_split(word, ''), c -> c <> ''), {SS})
+                 || {S} AS s, freq
+           FROM wrd)"""
+    for i in range(n_merges):
+        sql += f""",
+    p{i} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_transform(range(1, len({sym})),
+                   j -> {sym}[j] || chr(30) || {sym}[j+1])) AS pair, freq
+            FROM s{i})
+      GROUP BY pair),
+    m{i} AS (
+      SELECT string_split(pair, chr(30))[1] AS lhs,
+             string_split(pair, chr(30))[2] AS rhs, cnt
+      FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM p{i})
+      WHERE rn = 1),
+    s{i + 1} AS (
+      SELECT replace(s, {S} || lhs || {SS} || rhs || {S},
+                        {S} || lhs || rhs || {S}) AS s, freq
+      FROM s{i}, m{i}),
+    v{i + 1} AS (
+      SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vs
+      FROM (SELECT unnest({sym}) AS sym FROM s{i + 1}))"""
+    return sql
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_bpe_cte()}
+    """ + "\n    UNION ALL\n".join(
+        f"""SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lhs, rhs,
+               cnt AS pair_count,
+               (SELECT vs FROM v{i + 1}) AS vocab_size_after
+        FROM m{i}"""
+        for i in range(_BPE_MERGES)
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenizer training, first 3 merges: word-frequency table
+    (the ONLY corpus-sized aggregate), then per-iteration pair counting,
+    argmax (count desc / pair asc), and a boundary-safe literal-replace
+    merge — the driver loop collects exactly one row per iteration, like
+    kmeans_fit's centroid pull. At 100 TB every iteration runs over the
+    Zipf-bounded word table (~10^6 rows), not the corpus. The oracle
+    unrolls the identical iterations in SQL."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = textops.bpe_train_merges(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["merge_rank"], m["lhs"], m["rhs"], m["pair_count"], m["vocab_size_after"])
+            for m in merges
+        ],
+        "merge_rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT, "
+        "vocab_size_after BIGINT",
+    )

@@ -317,3 +317,107 @@ def char_entropy(
         # value-hash matches engines that produce +0.0
         F.when(n > 0, F.round(ent, 4) + F.lit(0.0)).alias("char_entropy_bits"),
     )
+
+
+BPE_SEP = "\x1f"  # wraps every symbol: "\x1f a \x1f\x1f b \x1f" (no spaces)
+BPE_PSEP = "\x1e"  # joins a candidate pair into one sortable key
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+):
+    """Train the first ``n_merges`` BPE merges over the corpus word
+    distribution; returns a list of dicts (merge_rank, lhs, rhs,
+    pair_count, vocab_size_after).
+
+    This is the canonical tokenizer-training loop, Spark-first:
+    - ONE corpus-sized aggregate builds the word-frequency table
+      (Zipf-bounded — at 100 TB it's ~10^6 rows, not corpus-sized);
+      every iteration after that runs on that table only.
+    - Each word is a symbol string with every symbol wrapped in \\x1f
+      sentinels, so applying a merge is ONE literal (non-regex)
+      `replace` — left-to-right, non-overlapping, and boundary-safe
+      ('xa','b' can never match the ('a','b') pattern), the exact
+      semantics reproduced by DuckDB's replace() in the oracle.
+    - The argmax pair (count desc, pair asc) is a 1-row collect per
+      iteration — same driver-side control-loop discipline as
+      kmeans_fit's centroid pull.
+
+    Words containing the sentinel bytes are dropped (impossible in
+    normalized text; guarded identically in the oracle).
+    """
+    spark = df.sparkSession
+    sep2 = BPE_SEP + BPE_SEP
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(~F.contains(F.col("word"), F.lit(BPE_SEP)))
+        .where(~F.contains(F.col("word"), F.lit(BPE_PSEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(BPE_SEP),
+                F.array_join(
+                    F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit("")),
+                    sep2,
+                ),
+                F.lit(BPE_SEP),
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)  # iterations re-read this, not the corpus
+    )
+
+    def symbols(col):
+        return F.split(F.substring(col, 2, F.length(col) - 2), sep2)
+
+    merges = []
+    cur = words
+    for rank in range(1, n_merges + 1):
+        sym = symbols(F.col("s"))
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(sym) - 1, F.lit(0))),
+                lambda j: F.concat(
+                    F.element_at(sym, j), F.lit(BPE_PSEP), F.element_at(sym, j + 1)
+                ),
+            )
+        )
+        best = (
+            cur.where(F.size(sym) >= 2)
+            .select(pair.alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs = best[0]["pair"].split(BPE_PSEP)
+        cnt = best[0]["cnt"]
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + lhs + sep2 + rhs + BPE_SEP),
+                F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+        vocab_after = (
+            cur.select(F.explode(symbols(F.col("s"))).alias("sym"))
+            .agg(F.count_distinct("sym"))
+            .collect()[0][0]
+        )
+        merges.append(
+            {
+                "merge_rank": rank,
+                "lhs": lhs,
+                "rhs": rhs,
+                "pair_count": int(cnt),
+                "vocab_size_after": int(vocab_after),
+            }
+        )
+    return merges
