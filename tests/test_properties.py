@@ -214,3 +214,48 @@ def test_stratified_sample_sizes(spark, rows, k):
     got = Counter(r["lang"] for r in out)
     assert got == Counter({lang: min(k, n) for lang, n in want.items()})
     assert {(r["id"], r["lang"]) for r in out} <= set(rows)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_char_entropy_bounds(spark, texts):
+    """0 <= H <= log2(distinct chars) for ANY text; NULL only when the
+    normalized text is empty."""
+    import math
+
+    from backend_etl_spark.operators.textops import char_entropy
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id BIGINT, text STRING")
+    for r in char_entropy(df).collect():
+        h, d = r["char_entropy_bits"], r["n_distinct_chars"]
+        if r["n_chars_norm"] == 0:
+            assert h is None
+        else:
+            # +5e-5: char_entropy_bits is rounded to 4 dp, which can
+            # round UP past the exact log2(d) bound (e.g. '012' ->
+            # 1.585 > log2 3)
+            assert -1e-9 <= h <= math.log2(max(d, 1)) + 5e-5
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing conserves tokens: offsets stay inside the window, the
+    highest sequence id equals floor((total-1)/2048), and every doc's
+    span count is consistent with its length and offset."""
+    from backend_etl_spark.catalog import REGISTRY
+
+    rows = REGISTRY["pack_sequences_2048"].fn(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert max(r["seq_id"] for r in rows) == (total - 1) // 2048 or total <= 2048
+    for r in rows:
+        assert 0 <= r["offset_in_seq"] < 2048
+        span = (r["offset_in_seq"] + r["n_tokens"] - 1) // 2048 + 1 if r["n_tokens"] else 1
+        assert r["n_seqs_spanned"] == span
