@@ -1389,3 +1389,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT, "
         "vocab_size_after BIGINT",
     )
+
+
+@register(
+    "text_rag_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, greatest(len(toks), 1), 24)) AS start_tok,
+                 generate_subscripts(range(0, greatest(len(toks), 1), 24), 1) - 1
+                   AS chunk_idx
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT)  AS chunk_idx,
+           CAST(start_tok AS BIGINT)  AS start_tok,
+           CAST(least(start_tok + 32, n) AS BIGINT) AS end_tok,
+           md5(array_to_string(toks[start_tok + 1:least(start_tok + 32, n)], ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval chunking: 32-token windows with a 24-token stride
+    (8-token overlap) per document — the chunk layout a RAG indexer
+    embeds. Map-only fan-out (sequence + posexplode) with a content
+    hash per chunk so the downstream embed/dedup stages key on stable
+    ids; empty docs yield no chunks on both engines."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(0).cast("bigint"),
+        (F.size("toks") - 1).cast("bigint"),
+        F.lit(24).cast("bigint"),
+    )
+    end = F.least(F.col("start_tok") + 32, F.size("toks"))
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            end.cast("bigint").alias("end_tok"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        (F.col("start_tok") + 1).cast("int"),
+                        (end - F.col("start_tok")).cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
