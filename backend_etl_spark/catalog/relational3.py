@@ -415,3 +415,61 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    v AS (SELECT user_id, min(ts) AS t_view
+          FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, min(ev.ts) AS t_click
+          FROM ev JOIN v ON v.user_id = ev.user_id AND ev.ts > v.t_view
+          WHERE ev.event_type = 'click' GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, min(ev.ts) AS t_purchase
+          FROM ev JOIN c ON c.user_id = ev.user_id AND ev.ts > c.t_click
+          WHERE ev.event_type = 'purchase' GROUP BY ev.user_id)
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_after_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_after_click,
+           round((SELECT count(*) FROM p)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 4)
+             AS view_to_purchase_rate
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage counts users
+    whose first stage-N event strictly follows their first stage-(N−1)
+    event — the product-analytics conversion query. Three per-user
+    aggregates chained by inequality-guarded joins; every stage shuffles
+    on user_id, so one hash partitioning serves the whole funnel (at
+    100 TB: pre-bucket events by user_id and no stage reshuffles)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame | None, prev_col: str | None):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = first_after("view", None, None)
+    c = first_after("click", v, "t_view")
+    p = first_after("purchase", c, "t_click")
+    counts = [
+        ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_users")),
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed")),
+        c.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked_after_view")),
+        p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased_after_click")),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(F.broadcast(df))
+    return out.withColumn(
+        "view_to_purchase_rate",
+        F.round(
+            F.col("n_purchased_after_click") / F.col("n_viewed").cast("double"), 4
+        ),
+    )
