@@ -1450,3 +1450,35 @@ def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+@register(
+    "agg_top_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                              THEN list_transform(range(len(toks) - 1),
+                                   i -> toks[i+1] || ' ' || toks[i+2])
+                              ELSE CAST([] AS VARCHAR[]) END) AS bigram
+           FROM t)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def agg_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams — the glanceable companion artifact to the
+    bigram LM: one explode + one count aggregate + a 20-row TakeOrdered
+    (deterministic tie-break on the bigram string, no full sort)."""
+    tune(spark)
+    from backend_etl_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        doc_shingles(docs, "doc_id", "text", n=2, distinct=False)
+        .groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -473,3 +473,52 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchased_after_click") / F.col("n_viewed").cast("double"), 4
         ),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT ev.user_id, f.cohort_week,
+                      CAST(floor(date_diff('day', f.cohort_week,
+                                           date_trunc('week', ev.ts)) / 7)
+                           AS BIGINT) AS week_offset
+               FROM ev JOIN first f ON f.user_id = ev.user_id)
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM active
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their first
+    event; each later active week becomes a (cohort, week-offset) cell —
+    the second canonical product-analytics query after the funnel. Both
+    aggregates and the join key on user_id, so one hash partitioning
+    carries the whole plan; the matrix itself is O(weeks²) — tiny."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                ) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users")
+    )
