@@ -392,12 +392,50 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate. Sketches differ across engines,
     so this entry has no value-hash oracle (driver records a rows-only
-    check); accuracy vs exact distinct is asserted in tests/."""
+    check); value-level attestation lives in the companion entry
+    agg_approx_error_bounded, which turns the sketch's published error
+    bound into an exact boolean both engines agree on."""
     tune(spark)
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+    )
+
+
+@register(
+    "agg_approx_error_bounded",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_3rsd
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_error_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level attestation for the HLL++ sketch: per group, assert
+    |approx − exact| / exact < 3·rsd (rsd=0.01 — HLL++'s published
+    relative standard deviation; 3σ ⇒ the bound holds w.p. ~99.7%, and
+    deterministically here since the sketch is seed-free). Only the
+    Spark side runs the sketch; both engines emit the exact count and
+    the boolean, so a broken sketch surfaces as a hash mismatch instead
+    of hiding behind a rows-only check."""
+    tune(spark)
+    rsd = 0.01
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd).alias("approx"),
+        )
+    )
+    err = F.abs(F.col("approx") - F.col("exact_customers")) / F.col(
+        "exact_customers"
+    ).cast("double")
+    return g.select(
+        "o_orderstatus", "exact_customers", (err < 3 * rsd).alias("within_3rsd")
     )
 
 

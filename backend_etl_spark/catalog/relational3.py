@@ -434,9 +434,10 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
            (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_after_view,
            (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_after_click,
-           round((SELECT count(*) FROM p)
-                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 4)
-             AS view_to_purchase_rate
+           CASE WHEN (SELECT count(*) FROM v) > 0 THEN
+             round((SELECT count(*) FROM p)
+                   / CAST((SELECT count(*) FROM v) AS DOUBLE), 4)
+           END AS view_to_purchase_rate
     """,
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,10 +468,17 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = counts[0]
     for df in counts[1:]:
         out = out.crossJoin(F.broadcast(df))
+    # zero-guard both engines identically: Spark Divide yields NULL on
+    # 0-denominator while DuckDB (ieee_floating_point_ops) yields inf —
+    # an explicit CASE/when keeps the degenerate no-view case at parity
     return out.withColumn(
         "view_to_purchase_rate",
-        F.round(
-            F.col("n_purchased_after_click") / F.col("n_viewed").cast("double"), 4
+        F.when(
+            F.col("n_viewed") > 0,
+            F.round(
+                F.col("n_purchased_after_click") / F.col("n_viewed").cast("double"),
+                4,
+            ),
         ),
     )
 

@@ -51,31 +51,94 @@ def stratified_sample(
     )
 
 
+def sharded_running_sum(
+    df: DataFrame,
+    shard_expr: Column,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str,
+    ascending_shards: bool = True,
+) -> DataFrame:
+    """Distributed global running sum WITHOUT a single-partition window —
+    the two-pass prefix-sum every scale-out engine uses:
+
+    1. per-shard local prefix sums (window PARTITIONED by the shard, so
+       all shards sort/scan in parallel);
+    2. a shard-totals aggregate (one row per shard — bounded, tiny) whose
+       cumulative predecessor sums become per-shard offsets via a
+       triangular broadcast self-join (window-free, so no
+       partition-less Window exists anywhere in the plan);
+    3. global running sum = local prefix + broadcast shard offset.
+
+    CONTRACT: ``shard_expr`` must be monotone in the leading sort key —
+    ordering by (shard, *order_by) must equal ordering by the intended
+    global order (e.g. the integer value of the first hex chars of a hash
+    ordered by that hash, or a coarse quality bucket ordered by quality).
+    Then the result is bit-identical to the global-window formulation,
+    but the biggest task touches |corpus| / n_shards rows instead of all
+    of them.
+    """
+    d = df.withColumn("__shard", shard_expr)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__local", F.sum(F.col(value_col)).over(w))
+    totals = d.groupBy("__shard").agg(F.sum(F.col(value_col)).alias("__tot"))
+    pred = (
+        F.col("__s2") < F.col("__s")
+        if ascending_shards
+        else F.col("__s2") > F.col("__s")
+    )
+    offsets = (
+        totals.select(F.col("__shard").alias("__s"))
+        .join(
+            F.broadcast(totals.select(F.col("__shard").alias("__s2"), "__tot")),
+            pred,
+            "left",
+        )
+        .groupBy("__s")
+        .agg(F.coalesce(F.sum("__tot"), F.lit(0)).alias("__off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), F.col("__shard") == F.col("__s"))
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__shard", "__local", "__s", "__off")
+    )
+
+
 def token_budget_pack(
     df: DataFrame,
     id_col: str,
     token_col: str,
     quality_col: Column,
     budget: int,
+    quality_buckets: int = 1000,
 ) -> DataFrame:
     """Fill a token budget with the highest-quality documents: order by
     quality (best first, id tie-break), keep rows while the running token
-    sum stays within `budget`. The 'select the best N-token training
-    mix' operator — one global sort + running-sum window.
+    sum stays within `budget` — the 'select the best N-token training
+    mix' operator.
 
-    At 100 TB the global window is the cost center; shard the budget per
-    partition key first (e.g. per language) and pack each shard, or use
-    an approximate quality threshold from a quantile sketch.
+    The running sum is the two-pass sharded prefix sum
+    (sharded_running_sum), sharded by a coarse quality bucket
+    ``floor(quality * quality_buckets)`` — monotone in the sort key, so
+    the output is identical to a global-window formulation while the
+    sort/cumsum parallelizes across buckets. Assumes quality is a
+    bounded ratio (the usual case: distinct-token ratio, stopword
+    fraction, classifier score in [0, 1]); for unbounded metrics pass a
+    pre-bucketed df through sharded_running_sum directly.
     """
-    w = (
-        Window.orderBy(quality_col.desc(), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = sharded_running_sum(
+        df,
+        shard_expr=F.floor(quality_col * quality_buckets).cast("bigint"),
+        order_by=[quality_col.desc(), F.col(id_col)],
+        value_col=token_col,
+        out_col="__cum",
+        ascending_shards=False,
     )
-    return (
-        df.withColumn("__cum", F.sum(F.col(token_col)).over(w))
-        .where(F.col("__cum") <= budget)
-        .drop("__cum")
-    )
+    return packed.where(F.col("__cum") <= budget).drop("__cum")
 
 
 def leakage_safe_split(
@@ -93,10 +156,16 @@ def leakage_safe_split(
 
     Map-only (given the key column): no shuffle, no lookup table —
     assignment is recomputable row-locally on any engine, any run.
+
+    The bucket uses the first 8 hex chars of the md5 (2^32 values) so
+    ``bucket % 100`` is uniform to within 2^-32 and the realized split
+    fractions match the weights. (2 hex chars = 256 values would skew
+    buckets 0-55 to 3/256 vs 2/256 — a ~4pp bias against the stated
+    80/10/10 contract.)
     """
     assert sum(weights) == 100, "weights must sum to 100"
     bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("split#"), cluster_key)), 1, 2), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(F.lit("split#"), cluster_key)), 1, 8), 16, 10)
         .cast("bigint") % 100
     )
     train_w, val_w, _ = weights

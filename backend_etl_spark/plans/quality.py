@@ -46,6 +46,46 @@ def has_cartesian(df: DataFrame) -> bool:
     return count_occurrences(df, r"CartesianProduct") > 0
 
 
+def global_windows(df: DataFrame) -> list[str]:
+    """Window specs with NO partition columns — the single-partition-sort
+    scale killer (every corpus row funnels through one task). Returns the
+    offending ``windowspecdefinition`` argument lists; an empty list is
+    the 100 TB-safe state the catalog-wide gate asserts.
+
+    Detection: in the plan text a windowspecdefinition's arguments are
+    [partition exprs..., sort orders..., frame]; sort orders always
+    render with a direction (``ASC``/``DESC NULLS ...``) and partition
+    exprs never do — so a spec whose FIRST argument is a sort order (or
+    the frame itself) has an empty partition clause.
+    """
+    text = plan_text(df)
+    offenders: list[str] = []
+    for m in re.finditer(r"windowspecdefinition\(", text):
+        depth, i = 1, m.end()
+        while depth and i < len(text):
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        spec = text[m.end() : i - 1]
+        first, d = "", 0
+        for ch in spec:
+            if ch == "," and d == 0:
+                break
+            first += ch
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        first = first.strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC)\b", first
+        ):
+            offenders.append(spec)
+    return offenders
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All non-empty PushedFilters lists in the scan nodes."""
     return [

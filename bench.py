@@ -71,6 +71,17 @@ BENCH_QUERIES = [
     "dedup_incremental_snapshot",
     "split_leakage_safe",
     "quality_char_entropy",
+    # round 4 additions: the round-3 LLM-data tier gets steady-state
+    # numbers (verdict item 4 — before this, PQ/ADC/packing cost was
+    # known only from one-off BASELINE.md notes)
+    "quality_bigram_logprob",
+    "emb_pq_codes",
+    "knn_pq_adc",
+    "knn_ivf_multiprobe",
+    "pack_sequences_2048",
+    "text_rag_chunks",
+    "bpe_train_merges",
+    "agg_top_bigrams",
 ]
 
 
@@ -113,8 +124,12 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "catalog_total_runtime",
-        "value": round(sum(times.values()), 3),
+        # a partial sum must never masquerade as a full-catalog total:
+        # with any error the headline value is nulled and partial=true,
+        # so cross-round comparisons can't read N-1 queries as a speedup
+        "value": None if errors else round(sum(times.values()), 3),
         "unit": "sec",
+        "n_ok": len(times),
         "queries": {
             **times,
             **{name: {"err": err} for name, err in errors.items()},
@@ -125,6 +140,8 @@ def main() -> None:
         out["variant"] = "cold-single-thread"
     if errors:
         out["n_errors"] = len(errors)
+        out["partial"] = True
+        out["value_partial_sum"] = round(sum(times.values()), 3)
     print(json.dumps(out))
 
 

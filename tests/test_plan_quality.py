@@ -24,11 +24,16 @@ def test_join_region_revenue_prunes_columns(spark, sf_dir):
     quality.assert_scale_ready(df, require_broadcast=True, max_scan_columns=8)
 
 
-def test_no_catalog_query_has_cartesian(spark, sf_dir):
-    """Failure-isolated whole-catalog gate: one unanalyzable entry must
-    be reported by name, not abort the scan of the remaining entries."""
+def test_no_catalog_query_has_cartesian_or_global_window(spark, sf_dir):
+    """Failure-isolated whole-catalog gate: no entry's plan may contain a
+    CartesianProduct OR a partition-less Window (the single-partition
+    sort+cumsum that funnels the whole corpus through one task — the
+    round-3 verdict's 100 TB killer; sharded_running_sum is the sanctioned
+    replacement). One unanalyzable entry must be reported by name, not
+    abort the scan of the remaining entries."""
     skip = {"streaming_"}  # streaming entries execute on build, not lazily
     cartesian: list[str] = []
+    global_win: list[str] = []
     broken: list[str] = []
     for name, spec in REGISTRY.items():
         if any(name.startswith(p) for p in skip):
@@ -37,9 +42,12 @@ def test_no_catalog_query_has_cartesian(spark, sf_dir):
             df = spec.fn(spark, sf_dir)
             if quality.has_cartesian(df):
                 cartesian.append(name)
+            if quality.global_windows(df):
+                global_win.append(name)
         except Exception as exc:  # noqa: BLE001 - collect, report per-entry
             broken.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not cartesian, f"CartesianProduct in plans: {cartesian}"
+    assert not global_win, f"partition-less Window in plans: {global_win}"
     assert not broken, "entries failed to build/analyze:\n" + "\n".join(broken)
 
 

