@@ -2,6 +2,7 @@
 
 from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
     ingestq,
+    ingestq2,
     llmops,
     llmops2,
     nested,

@@ -322,14 +322,18 @@ def curation_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
-    w_all = Window.partitionBy()  # lang-agg frame: #langs rows, tiny
-    rates = counts.select(
+    # global max as a broadcast 1-row frame, not an empty-partition
+    # window: same #langs-sized math, but the catalog-wide
+    # no-partition-less-Window gate stays absolute (no tiny-frame
+    # exemptions to reason about)
+    max_n = counts.agg(F.max("n_l").alias("max_n"))
+    rates = counts.crossJoin(F.broadcast(max_n)).select(
         "lang",
         F.least(
             F.lit(1.0),
             F.round(
                 F.lit(0.5)
-                * F.sqrt(F.max("n_l").over(w_all) / F.col("n_l").cast("double")),
+                * F.sqrt(F.col("max_n") / F.col("n_l").cast("double")),
                 6,
             ),
         ).alias("rate"),
@@ -522,10 +526,10 @@ from backend_etl_spark.catalog.llmops import _NORM, _SIGS_CTE  # noqa: E402
 from backend_etl_spark.operators import curation, dedup  # noqa: E402
 
 
-@register(
-    "dedup_incremental_snapshot",
-    oracle=f"""
-    WITH {_SIGS_CTE},
+# shared with streamingq.streaming_incremental_dedup: the streaming
+# foreachBatch drain must land on exactly the same relation
+INCR_SNAPSHOT_ORACLE = f"""
+    WITH {{sigs_cte}},
     bands AS (
       SELECT doc_id, '0' AS band_id, mh0 AS band_value FROM sigs UNION ALL
       SELECT doc_id, '1', mh1 FROM sigs UNION ALL
@@ -545,7 +549,12 @@ from backend_etl_spark.operators import curation, dedup  # noqa: E402
            hits.batch_doc_id IS NULL                   AS is_novel
     FROM sigs s LEFT JOIN hits ON hits.batch_doc_id = s.doc_id
     WHERE s.doc_id % 10 >= 8
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle=INCR_SNAPSHOT_ORACLE.format(sigs_cte=_SIGS_CTE),
 )
 def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup: the incoming batch (doc_id%10
@@ -1720,4 +1729,372 @@ def agg_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus pipeline funnel (round-4 item 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pipeline_funnel",
+    oracle=None,  # assembled below (composes the attested stage oracles)
+)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training-data pipeline, end to end, as one relation: raw docs
+    → quality gates (char entropy ≥ 3.9 AND Gopher repetition keep AND
+    bigram-LM avg log2p ≥ −4.95) → exact dedup (canonical = min doc_id
+    per normalized-content key) → MinHash/LSH near-dedup (drop docs
+    band-matching a lower-id survivor on ≥2 of 4 bands) → benchmark
+    decontamination (eval set = doc_id < 10; shared-4-gram docs AND the
+    eval docs themselves leave) → leakage-safe 80/10/10 split — emitted
+    as ONE funnel row of per-stage counts plus the surviving token
+    budget. Every stage is an already-attested catalog operator; this
+    entry proves the COMPOSITION (what a data team actually ships)
+    against a DuckDB oracle that replays the identical chain.
+
+    Scale shape: each stage is the attested stage's plan (map-only
+    gates; banded equi-join, never all-pairs; broadcast benchmark set) —
+    composition adds no new shuffle class. The funnel here recomputes
+    lineage per stage count for oracle exactness; a production run
+    persists each stage's survivor set and the counts ride those writes
+    as Observations (sink.write_idempotent discipline)."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ent = quality_char_entropy(spark, sf_dir).select("doc_id", "char_entropy_bits")
+    rep = textops.repetition_metrics(docs).select("doc_id", "keep")
+    lm = quality_bigram_logprob(spark, sf_dir).select("doc_id", "avg_log2p")
+    base = docs.select(
+        "doc_id",
+        "text",
+        dedup.content_key(F.col("text")).alias("ck"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+    )
+    q = (
+        base.join(ent, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id", "left")
+        .where(
+            (F.col("char_entropy_bits") >= 3.9)
+            & F.col("keep")
+            & F.coalesce(F.col("avg_log2p") >= -4.95, F.lit(False))
+        )
+        .select("doc_id", "text", "ck", "ntok")
+        .localCheckpoint(eager=False)  # later stages re-read survivors
+    )
+    w = Window.partitionBy("ck").orderBy("doc_id")
+    ex = (
+        q.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    bands = dedup.signature_bands(
+        dedup.minhash_signatures(ex, "doc_id", "text"), "doc_id"
+    )
+    drop = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 2)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(drop, "doc_id", "anti")
+    cont = decontam_ngram_overlap(spark, sf_dir).select("doc_id")
+    fin = nd.where(F.col("doc_id") >= 10).join(cont, "doc_id", "anti")
+    spl = curation.leakage_safe_split(fin, "doc_id", dedup.content_key(F.col("text")))
+
+    def one(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    counts = [
+        one(docs, "n_raw"),
+        one(q, "n_after_quality"),
+        one(ex, "n_after_exact_dedup"),
+        one(nd, "n_after_near_dedup"),
+        one(fin, "n_after_decontam"),
+        one(spl.where(F.col("split") == "train"), "n_train"),
+        one(spl.where(F.col("split") == "val"), "n_val"),
+        one(spl.where(F.col("split") == "test"), "n_test"),
+        fin.agg(F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("total_tokens")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+_FUNNEL_ORACLE = f"""
+    WITH ent AS ({{ent}}),
+    rep AS ({{rep}}),
+    lm AS ({{lm}}),
+    cont AS ({{cont}}),
+    base AS (SELECT doc_id, md5({_NORM}) AS ck, len({_TOKS}) AS ntok
+             FROM documents),
+    q AS (
+      SELECT base.doc_id, base.ck, base.ntok
+      FROM base
+        JOIN ent ON ent.doc_id = base.doc_id
+        JOIN rep ON rep.doc_id = base.doc_id
+        LEFT JOIN lm ON lm.doc_id = base.doc_id
+      WHERE ent.char_entropy_bits >= 3.9 AND rep.keep
+        AND coalesce(lm.avg_log2p >= -4.95, FALSE)),
+    ex AS (
+      SELECT doc_id, ck, ntok FROM (
+        SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+        FROM q)
+      WHERE rn = 1),
+    sq AS (WITH {{sigs}} SELECT sigs.* FROM sigs
+           WHERE doc_id IN (SELECT doc_id FROM ex)),
+    bands AS (
+      SELECT doc_id, '0' AS band_id, mh0 AS band_value FROM sq UNION ALL
+      SELECT doc_id, '1', mh1 FROM sq UNION ALL
+      SELECT doc_id, '2', mh2 FROM sq UNION ALL
+      SELECT doc_id, '3', mh3 FROM sq),
+    nddrop AS (
+      SELECT DISTINCT db AS doc_id FROM (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_value = b.band_value
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2)),
+    nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+    fin AS (SELECT * FROM nd WHERE doc_id >= 10
+            AND doc_id NOT IN (SELECT doc_id FROM cont)),
+    spl AS (SELECT doc_id,
+                   ('0x' || substr(md5('split#' || ck), 1, 8))::BIGINT % 100
+                     AS bucket
+            FROM fin)
+    SELECT (SELECT count(*) FROM documents)           AS n_raw,
+           (SELECT count(*) FROM q)                   AS n_after_quality,
+           (SELECT count(*) FROM ex)                  AS n_after_exact_dedup,
+           (SELECT count(*) FROM nd)                  AS n_after_near_dedup,
+           (SELECT count(*) FROM fin)                 AS n_after_decontam,
+           (SELECT count(*) FROM spl WHERE bucket < 80) AS n_train,
+           (SELECT count(*) FROM spl WHERE bucket >= 80 AND bucket < 90)
+                                                      AS n_val,
+           (SELECT count(*) FROM spl WHERE bucket >= 90) AS n_test,
+           (SELECT coalesce(sum(ntok), 0) FROM fin)   AS total_tokens
+"""
+
+from backend_etl_spark.catalog.registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["corpus_pipeline_funnel"].oracle = _FUNNEL_ORACLE.format(
+    ent=_REG2["quality_char_entropy"].oracle,
+    rep=_REG2["text_repetition_metrics"].oracle,
+    lm=_REG2["quality_bigram_logprob"].oracle,
+    cont=_REG2["decontam_ngram_overlap"].oracle,
+    sigs=_SIGS_CTE,
+)
+
+
+# ---------------------------------------------------------------------------
+# round 4: SemDeDup, IVF-PQ exact re-rank, corpus drift monitoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH {_kmeans_cte()},
+    e2 AS (SELECT vec_id, v, cluster FROM {_KM_FINAL}),
+    drop AS (
+      SELECT DISTINCT y.vec_id AS vb
+      FROM e2 x JOIN e2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE round(list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v))
+                     * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3)
+    SELECT vec_id,
+           CAST(cluster AS BIGINT) AS cluster,
+           vec_id NOT IN (SELECT vb FROM drop) AS kept
+    FROM e2
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, PAPERS.md): semantic dedup via
+    k-means clustering of the embedding space, then cosine pairs ONLY
+    within each cluster — the learned-cluster analogue of the
+    label-bucketed pairs entry, and the trick that makes embedding
+    dedup feasible at 100 TB: candidate pairs are O(Σ cluster²), never
+    corpus². A vector is dropped when it matches a lower-id
+    cluster-mate at cosine ≥ 0.3; the verdict column per vector keeps
+    the relation total (one row per embedding)."""
+    tune(spark)
+    from backend_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    e2 = clustering.assign_clusters(emb, cents).select(
+        "vec_id", "cluster", similarity.to_double("embedding").alias("v")
+    )
+    a = e2.select(
+        F.col("vec_id").alias("va"), F.col("cluster"), F.col("v").alias("xv")
+    )
+    b = e2.select(
+        F.col("vec_id").alias("vb"), F.col("cluster"), F.col("v").alias("yv")
+    )
+    drop = (
+        a.join(b, "cluster")
+        .where(F.col("va") < F.col("vb"))
+        .where(F.round(similarity.cosine(F.col("xv"), F.col("yv")), 6) >= 0.3)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        e2.join(drop, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+@register(
+    "knn_ivfpq_rerank",
+    oracle=f"""
+    WITH {_kmeans_cte()},
+    {_pq_cte("s0_", 1, _PQ_HALF)},
+    {_pq_cte("s1_", _PQ_HALF + 1, _PQ_DIM)},
+    {_IVFPQ_ORACLE_COMMON},
+    cand20 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY q_id ORDER BY approx_dist2, neighbor_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 20),
+    rr AS (
+      SELECT c.q_id, c.neighbor_id,
+             round(list_dot_product(q.v, n.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+      FROM cand20 c
+        JOIN e q ON q.vec_id = c.q_id
+        JOIN e n ON n.vec_id = c.neighbor_id)
+    SELECT q_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rr)
+    WHERE rnk <= 3
+    """,
+)
+def knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production ANN funnel (FAISS search pipeline): coarse
+    IVF probe → PQ/ADC scoring → top-20 shortlist → EXACT cosine re-rank
+    of the shortlist → final top-3. The expensive exact math touches 20
+    vectors per query instead of the corpus; everything upstream moved
+    only codes. At 100 TB this is the layout+funnel a billion-vector
+    retrieval service runs per query."""
+    tune(spark)
+    cand, _, emb = _ivfpq_search(spark, sf_dir)
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.asc("approx_dist2"), F.asc("neighbor_id")
+    )
+    c20 = (
+        cand.withColumn("rnk", F.row_number().over(w_adc))
+        .where(F.col("rnk") <= 20)
+        .select("q_id", "neighbor_id")
+    )
+    dbl = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q2"), dbl.alias("qv")
+    )
+    nv = emb.select(F.col("vec_id").alias("n2"), dbl.alias("nv"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        c20.join(F.broadcast(qv), F.col("q_id") == F.col("q2"))
+        .join(nv, F.col("neighbor_id") == F.col("n2"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            _cosine(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "corpus_drift_kl",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    o AS (SELECT w, count(*) AS c FROM toks WHERE doc_id % 10 < 8 GROUP BY w),
+    n AS (SELECT w, count(*) AS c FROM toks WHERE doc_id % 10 >= 8 GROUP BY w),
+    v AS (SELECT count(DISTINCT w) AS vocab FROM toks),
+    ot AS (SELECT sum(c) AS t FROM o),
+    nt AS (SELECT sum(c) AS t FROM n),
+    joint AS (
+      SELECT coalesce(o.w, n.w) AS w,
+             coalesce(o.c, 0) AS co, coalesce(n.c, 0) AS cn
+      FROM o FULL JOIN n ON o.w = n.w),
+    terms AS (
+      SELECT (cn + 1) / CAST(nt.t + v.vocab AS DOUBLE) AS p,
+             (co + 1) / CAST(ot.t + v.vocab AS DOUBLE) AS q
+      FROM joint, ot, nt, v)
+    SELECT CAST((SELECT t FROM ot) AS BIGINT)     AS n_tokens_old,
+           CAST((SELECT t FROM nt) AS BIGINT)     AS n_tokens_new,
+           CAST((SELECT vocab FROM v) AS BIGINT)  AS vocab_size,
+           round(sum(p * log2(p / q)), 4)         AS kl_new_vs_old_bits
+    FROM terms
+    """,
+)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: KL(new ‖ old) in bits between the
+    Laplace-smoothed unigram distributions of the previous snapshot
+    (doc_id%10 < 8) and the incoming crawl (doc_id%10 ≥ 8) — the metric
+    a training-data pipeline alerts on when a crawl's language mixture
+    or spam profile shifts. Scale shape: two Zipf-bounded unigram
+    aggregates, a vocab-keyed full outer join, scalar totals broadcast;
+    the corpus shuffles once (onto the token key) and the KL reduce is
+    map-side partial."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    o = t.where(F.col("doc_id") % 10 < 8).groupBy("w").agg(
+        F.count(F.lit(1)).alias("co")
+    )
+    n = t.where(F.col("doc_id") % 10 >= 8).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    v = t.agg(F.count_distinct("w").alias("vocab"))
+    ot = o.agg(F.sum("co").alias("ot"))
+    nt = n.agg(F.sum("cn").alias("nt"))
+    joint = (
+        o.join(n, "w", "full")
+        .select(
+            F.coalesce(F.col("co"), F.lit(0)).alias("co"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        )
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(ot))
+        .crossJoin(F.broadcast(nt))
+    )
+    p = (F.col("cn") + 1) / (F.col("nt") + F.col("vocab")).cast("double")
+    q = (F.col("co") + 1) / (F.col("ot") + F.col("vocab")).cast("double")
+    return (
+        joint.select(
+            F.col("ot"),
+            F.col("nt"),
+            F.col("vocab"),
+            (p * F.log2(p / q)).alias("term"),
+        )
+        .groupBy()
+        .agg(
+            F.first("ot").cast("bigint").alias("n_tokens_old"),
+            F.first("nt").cast("bigint").alias("n_tokens_new"),
+            F.first("vocab").cast("bigint").alias("vocab_size"),
+            F.round(F.sum("term"), 4).alias("kl_new_vs_old_bits"),
+        )
     )

@@ -526,6 +526,35 @@ def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_frame(ev: DataFrame) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum over
+    (event_id, user_id, ts) — shared by the plain entry and the
+    bucketed-layout entry, which must produce the identical relation
+    from a shuffle-free plan."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).cast("bigint").alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+
 @register(
     "window_sessionize_events",
     oracle="""
@@ -555,28 +584,7 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch equivalent of a session window; integer-microsecond gap
     math so both engines agree exactly."""
     tune(spark)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev = load_table(spark, sf_dir, "events")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0).alias(
-            "new_session"
-        ),
-    )
-    sessions = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(wrun).cast("bigint").alias("session_id"),
-    )
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-    )
+    return sessionize_frame(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -1232,3 +1240,94 @@ def catalog_table_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = c if out is None else out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# layout-at-rest: bucketed and partitioned writes (round-4 item 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_sessionize_events",
+    # identical relation to the plain entry — layout must not change answers
+    oracle=None,  # patched below to share window_sessionize_events' oracle
+)
+def bucketed_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-at-rest proof: events written BUCKETED on user_id (the
+    pre-bucketing the funnel/retention docstrings assume at 100 TB),
+    then re-read and sessionized — the window's partitionBy(user_id) and
+    the final groupBy are both satisfied by the bucketed scan, so the
+    whole plan runs with ZERO Exchange operators
+    (tests/test_plan_quality.py asserts it) while hash-matching the
+    plain shuffling entry exactly. At 100 TB this converts every
+    per-user stage downstream of the nightly ingest write into a
+    shuffle-free local sort."""
+    import tempfile
+
+    from backend_etl_spark.sources.loader import write_bucketed
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    write_bucketed(
+        ev,
+        "events_by_user",
+        "user_id",
+        n_buckets=8,
+        sort=False,
+        path=tempfile.mkdtemp(prefix="spark-graft-bucketed-"),
+    )
+    return sessionize_frame(spark.table("events_by_user"))
+
+
+# share the oracle: the bucketed plan must reproduce the plain relation
+from backend_etl_spark.catalog.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["bucketed_sessionize_events"].oracle = _REG["window_sessionize_events"].oracle
+
+
+@register(
+    "partitioned_ship_year_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE year(l_shipdate) = 1995
+    GROUP BY l_returnflag
+    """,
+)
+def partitioned_ship_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-at-rest proof #2: lineitem written hive-PARTITIONED on
+    ship_year, re-read with a year predicate — the filter becomes a
+    PartitionFilter (directory pruning: non-matching years are never
+    opened, tests assert it reaches the scan), and the aggregate runs on
+    the 1/7th slice. The partition column is derived at write time
+    (year(l_shipdate)) — the standard time-partitioned fact layout."""
+    import tempfile
+
+    from backend_etl_spark.sources.loader import write_partitioned
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        F.year("l_shipdate").alias("ship_year"),
+    )
+    write_partitioned(
+        li,
+        "lineitem_by_shipyear",
+        "ship_year",
+        path=tempfile.mkdtemp(prefix="spark-graft-partitioned-"),
+    )
+    return (
+        spark.table("lineitem_by_shipyear")
+        .where(F.col("ship_year") == 1995)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

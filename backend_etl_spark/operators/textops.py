@@ -327,10 +327,18 @@ def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 3,
+    min_pair_count: int = 2,
 ):
     """Train the first ``n_merges`` BPE merges over the corpus word
     distribution; returns a list of dicts (merge_rank, lhs, rhs,
     pair_count, vocab_size_after).
+
+    ``n_merges`` is the production knob (real trainers run thousands;
+    per-iteration work is bounded by the Zipf-sized word table, never
+    the corpus). Training stops early when the best remaining pair
+    occurs fewer than ``min_pair_count`` times (default 2: a merge seen
+    once compresses nothing — the standard convergence guard), or when
+    no pair remains.
 
     This is the canonical tokenizer-training loop, Spark-first:
     - ONE corpus-sized aggregate builds the word-frequency table
@@ -398,6 +406,8 @@ def bpe_train_merges(
             break
         lhs, rhs = best[0]["pair"].split(BPE_PSEP)
         cnt = best[0]["cnt"]
+        if cnt < min_pair_count:
+            break  # converged: merging a once-seen pair gains nothing
         cur = cur.select(
             F.replace(
                 F.col("s"),

@@ -25,6 +25,9 @@ RUNTIME_CONF: dict[str, str] = {
     # small-dim broadcast: `customer`/`nation`/`region` play the reference's
     # `users` control-dimension role (SURVEY §2.7 J1) and must broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # plan-text audits (plans/quality.py, the no-global-window gate) parse
+    # expression trees out of explain output — never let Spark elide them
+    "spark.sql.debug.maxToStringFields": "4096",
 }
 
 #: Confs that must be set before the JVM starts.

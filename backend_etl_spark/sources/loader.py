@@ -66,23 +66,64 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
 
 
 def write_bucketed(
-    df: DataFrame, name: str, key: str, n_buckets: int = 8, sort: bool = True
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist a DataFrame as a bucketed (and bucket-sorted) catalog
     table. Two tables bucketed the same way on their join key co-locate:
     the join needs NO Exchange at read time — at 100 TB this turns the
     nightly fact-to-fact join from the dominant shuffle into a local
-    merge per bucket (verified by tests/test_plan_quality.py)."""
+    merge per bucket (verified by tests/test_plan_quality.py). A
+    same-key window/groupBy over ONE bucketed table likewise reads
+    shuffle-free (bucketed_sessionize_events).
+
+    ``path`` makes the table external at an explicit location — use it
+    from catalog entries so an untuned driver session never writes a
+    ``spark-warehouse`` under its cwd."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     # the in-memory catalog forgets tables across sessions but the
-    # warehouse dir persists; clear a stale location before re-creating
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:"):]
-    if warehouse:
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    # table location persists; clear a stale dir before re-creating
+    loc = path
+    if loc is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        loc = os.path.join(warehouse, name) if warehouse else None
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(name)
+
+
+def write_partitioned(
+    df: DataFrame, name: str, partition_col: str, path: str | None = None
+) -> None:
+    """Persist a DataFrame hive-partitioned on ``partition_col`` — the
+    layout-at-rest that turns a time/tenant predicate into partition
+    PRUNING (the scan never opens non-matching directories). At 100 TB
+    the nightly lineitem scan with a ship-year filter reads 1/7th of the
+    table by construction; tests assert PartitionFilters reaches the
+    scan node."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = path
+    if loc is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        loc = os.path.join(warehouse, name) if warehouse else None
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.partitionBy(partition_col)
+    if path is not None:
+        w = w.option("path", path)
     w.mode("overwrite").format("parquet").saveAsTable(name)

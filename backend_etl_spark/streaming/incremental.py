@@ -51,3 +51,66 @@ def stream_events_to_sink(
         .start()
         .awaitTermination()
     )
+
+
+DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def stage_docs_batch_source(
+    spark: SparkSession, docs: DataFrame, out_dir: str, redeliver: int = 0
+) -> None:
+    """Materialize an incoming-crawl document batch as a stream-readable
+    source directory, split across files so availableNow produces
+    multiple micro-batches. ``redeliver`` > 0 re-writes the first n docs
+    as an extra file — the reference's overlap-window re-scrape
+    (at-least-once) that the idempotent sink must absorb."""
+    docs.repartition(4).write.mode("overwrite").parquet(out_dir)
+    if redeliver:
+        docs.orderBy("doc_id").limit(redeliver).write.mode("append").parquet(out_dir)
+
+
+def stream_dedup_against_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Streaming cross-crawl dedup (W5 ∘ the incremental-snapshot op):
+    each micro-batch of newly crawled documents is MinHash-signed and
+    LSH-probed against the static corpus snapshot, and the verdict rows
+    land through the idempotent sink keyed on batch_doc_id.
+
+    Scale shape: the corpus band index is computed ONCE outside the
+    stream (at 100 TB: a persisted table bucketed on band_value) and
+    only the micro-batch side moves per trigger — the probe join is
+    O(|batch| × bucket), corpus-size-independent. Redelivered docs are
+    absorbed twice over: dropDuplicates within the batch, anti-join at
+    the sink across batches/restarts.
+    """
+    from backend_etl_spark.operators import dedup
+
+    corpus_sigs = dedup.minhash_signatures(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )  # the persisted index: never recomputed per micro-batch
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        bsig = dedup.minhash_signatures(
+            batch.dropDuplicates(["doc_id"]), "doc_id", "text"
+        )
+        out = dedup.incremental_lsh_matches(bsig, corpus_sigs, "doc_id")
+        write_idempotent(out, sink_path, ["batch_doc_id"])
+
+    (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -82,6 +82,19 @@ BENCH_QUERIES = [
     "text_rag_chunks",
     "bpe_train_merges",
     "agg_top_bigrams",
+    # round 4 additions: composed IVF-PQ, the end-to-end corpus funnel,
+    # layout-at-rest sessionize, a direct ingest-projection fixture, and
+    # the streaming cross-crawl dedup
+    "knn_ivfpq_adc",
+    "knn_ivfpq_rerank",
+    "dedup_semantic_semdedup",
+    "corpus_drift_kl",
+    "corpus_pipeline_funnel",
+    "bucketed_sessionize_events",
+    "instagram_flatten_fixture",
+    "streaming_incremental_dedup",
+    "timeseries_gap_fill_hourly",
+    "graph_pagerank_users",
 ]
 
 

@@ -159,6 +159,27 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert quality.num_shuffles(plain) == 2
 
 
+def test_bucketed_sessionize_has_zero_shuffles(spark, sf_dir):
+    """Round-4 item 7: the bucketed-layout sessionize plan must contain
+    NO Exchange — the window's partitionBy(user_id) and the final
+    per-user groupBy both ride the bucketed scan's hash distribution —
+    while the plain entry pays its one shuffle."""
+    df = REGISTRY["bucketed_sessionize_events"].fn(spark, sf_dir)
+    assert quality.num_shuffles(df) == 0, quality.plan_text(df)
+    plain = REGISTRY["window_sessionize_events"].fn(spark, sf_dir)
+    assert quality.num_shuffles(plain) >= 1  # the baseline the layout removes
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir):
+    """The ship_year predicate must turn into directory pruning
+    (PartitionFilters on the scan node), not a post-scan filter."""
+    import re
+
+    df = REGISTRY["partitioned_ship_year_revenue"].fn(spark, sf_dir)
+    text = quality.plan_text(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*ship_year[^\]]*1995[^\]]*\]", text), text
+
+
 def test_join_strategy_hints_take_effect(spark, sf_dir):
     """Strategy control: the same join planned as broadcast, shuffle-hash,
     and sort-merge via hints — the knobs used when AQE's choice is wrong

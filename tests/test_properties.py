@@ -246,6 +246,99 @@ def test_char_entropy_bounds(spark, texts):
             assert -1e-9 <= h <= math.log2(max(d, 1)) + 5e-5
 
 
+def _py_bpe(texts, n_merges, min_pair_count=2):
+    """Pure-Python reference BPE trainer mirroring bpe_train_merges'
+    contract: word-frequency table, pair argmax (count desc, lhs␞rhs
+    asc), left-to-right non-overlapping within-word merges. Words are
+    symbol TUPLES, so crossing a word boundary is impossible by
+    construction — a differential mismatch would expose sentinel
+    leakage in the Spark implementation."""
+    import collections
+    import re
+
+    from backend_etl_spark.operators.textops import BPE_PSEP
+
+    freq = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                freq[tuple(w)] += 1
+    cur = dict(freq)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = collections.Counter()
+        for syms, f in cur.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + BPE_PSEP + kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+
+        def apply(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        nxt = collections.Counter()
+        for syms, f in cur.items():
+            nxt[apply(syms)] += f
+        cur = dict(nxt)
+        vocab = {s for syms in cur for s in syms}
+        merges.append(
+            {
+                "merge_rank": rank,
+                "lhs": lhs,
+                "rhs": rhs,
+                "pair_count": cnt,
+                "vocab_size_after": len(vocab),
+            }
+        )
+    return merges
+
+
+def test_bpe_differential_vs_python_reference(spark):
+    """The Spark BPE trainer lands on exactly the same merge sequence as
+    an independent tuple-of-symbols Python implementation — including on
+    text engineered so that a sentinel-crossing bug WOULD change the
+    answer ('b a' adjacencies across words must never count toward the
+    ('b','a') pair)."""
+    from backend_etl_spark.operators.textops import bpe_train_merges
+
+    texts = [
+        "abab abab cab",
+        "b a b a b a",
+        "aa bb aa bb aab",
+        "cabbage cab bab",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id BIGINT, text STRING")
+    got = bpe_train_merges(df, n_merges=6)
+    assert got == _py_bpe(texts, 6)
+
+
+def test_bpe_converges_with_bounded_merges(spark):
+    """n_merges is a production knob: asking for 50 merges on a small
+    repetitive corpus completes quickly, stops at the convergence guard
+    (best pair count < 2), and never emits a merge seen only once."""
+    from backend_etl_spark.operators.textops import bpe_train_merges
+
+    texts = ["the cat sat", "the cat", "sat the"] * 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id BIGINT, text STRING")
+    got = bpe_train_merges(df, n_merges=50)
+    assert 0 < len(got) < 50
+    assert all(m["pair_count"] >= 2 for m in got)
+    assert got == _py_bpe(texts, 50)
+
+
 def test_sharded_running_sum_equals_global_window(spark):
     """The two-pass sharded prefix sum is bit-identical to the global
     single-partition window it replaces, for any shard granularity —

@@ -30,6 +30,38 @@ def test_stream_drain_and_checkpoint_noop(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink).count() == n1
 
 
+def test_incremental_dedup_replay_does_not_duplicate(spark, sf_dir, tmp_path):
+    """Crash-replay for the streaming cross-crawl dedup (mirrors
+    test_rollup_replay_does_not_double_count): a lost checkpoint
+    re-delivers every batch file, and the idempotent sink must absorb
+    the full replay — same rows, same verdicts, no duplicates."""
+    from pyspark.sql import functions as F
+
+    from backend_etl_spark.streaming import incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    incremental.stage_docs_batch_source(
+        spark, docs.where(F.col("doc_id") % 10 >= 8), src, redeliver=20
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+
+    incremental.stream_dedup_against_corpus(
+        spark, corpus, src, sink, str(tmp_path / "cp1")
+    )
+    first = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    n_batch = docs.where(F.col("doc_id") % 10 >= 8).count()
+    assert len(first) == n_batch  # one verdict per doc, redelivery absorbed
+
+    # replay from scratch: fresh checkpoint re-delivers ALL files
+    incremental.stream_dedup_against_corpus(
+        spark, corpus, src, sink, str(tmp_path / "cp2")
+    )
+    second = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert second == first
+
+
 # ---------------------------------------------------------------------------
 # watermarked windowed agg / within-watermark dedup / stateful sessions
 # ---------------------------------------------------------------------------
