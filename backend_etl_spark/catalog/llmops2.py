@@ -769,14 +769,24 @@ _PQ_DIM = 64  # fixture embedding dim (asserted at runtime)
 _PQ_HALF = _PQ_DIM // 2
 
 
-def _pq_cte(prefix: str, lo: int, hi: int, k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
+def _pq_cte(
+    prefix: str,
+    lo: int,
+    hi: int,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    src: str = "embeddings",
+) -> str:
     """Unrolled Lloyd's over ONE PQ subspace (components lo..hi,
     1-based inclusive) — the _kmeans_cte recipe with all CTE names
-    prefixed so two subspaces coexist in one WITH clause."""
+    prefixed so two subspaces coexist in one WITH clause. ``src`` lets
+    the subspace fit run over a derived relation (e.g. the coarse-
+    quantizer residuals for by_residual IVF-PQ) instead of the raw
+    embeddings table."""
     p = prefix
     sql = f"""
     {p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS v
-             FROM embeddings),
+             FROM {src}),
     {p}c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
       FROM (SELECT vec_id, v FROM {p}e
@@ -1783,7 +1793,7 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.coalesce(F.col("avg_log2p") >= -4.95, F.lit(False))
         )
         .select("doc_id", "text", "ck", "ntok")
-        .localCheckpoint(eager=False)  # later stages re-read survivors
+        .localCheckpoint(eager=True)  # later stages re-read survivors, not the LM chain
     )
     w = Window.partitionBy("ck").orderBy("doc_id")
     ex = (
@@ -1810,7 +1820,13 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = ex.join(drop, "doc_id", "anti")
     cont = decontam_ngram_overlap(spark, sf_dir).select("doc_id")
-    fin = nd.where(F.col("doc_id") >= 10).join(cont, "doc_id", "anti")
+    # fin feeds five downstream aggregates (count, 3 split counts, token
+    # sum) — checkpoint so the dedup/decontam chain computes once
+    fin = (
+        nd.where(F.col("doc_id") >= 10)
+        .join(cont, "doc_id", "anti")
+        .localCheckpoint(eager=True)
+    )
     spl = curation.leakage_safe_split(fin, "doc_id", dedup.content_key(F.col("text")))
 
     def one(df, name):
@@ -2097,4 +2113,165 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("vocab").cast("bigint").alias("vocab_size"),
             F.round(F.sum("term"), 4).alias("kl_new_vs_old_bits"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual encoding (by_residual=True — the FAISS default)
+# ---------------------------------------------------------------------------
+
+_RES_SRC = f"""res AS (
+      SELECT a.vec_id,
+             list_transform(range(len(a.v)),
+                            j -> a.v[j+1] - c.cv[j+1]) AS embedding
+      FROM {_KM_FINAL} a JOIN c{_KM_ITERS - 1} c ON c.cid = a.cluster)"""
+
+
+@register(
+    "knn_ivfpq_residual",
+    oracle=f"""
+    WITH {_kmeans_cte()},
+    {_RES_SRC},
+    {_pq_cte("t0_", 1, _PQ_HALF, src="res")},
+    {_pq_cte("t1_", _PQ_HALF + 1, _PQ_DIM, src="res")},
+    probes AS (
+      SELECT vec_id AS q_id, cid AS pc
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS pr
+            FROM d{_KM_ITERS - 1} WHERE vec_id < 5)
+      WHERE pr <= 2),
+    coarse AS (SELECT vec_id, cluster FROM {_KM_FINAL}),
+    codes AS (
+      SELECT a.vec_id, a.cluster AS code0, b.cluster AS code1
+      FROM t0_a{_PQ_ITERS - 1} a JOIN t1_a{_PQ_ITERS - 1} b USING (vec_id)),
+    qres AS (
+      SELECT p.q_id, p.pc,
+             list_transform(range(len(q.v)),
+                            j -> q.v[j+1] - c.cv[j+1]) AS rv
+      FROM probes p
+        JOIN e q ON q.vec_id = p.q_id
+        JOIN c{_KM_ITERS - 1} c ON c.cid = p.pc),
+    adt0 AS (
+      SELECT qres.q_id, qres.pc, cb.cid,
+             round(list_reduce(list_transform(range({_PQ_HALF}),
+                   j -> (rv[j+1] - cb.cv[j+1]) * (rv[j+1] - cb.cv[j+1])),
+                   (x, y) -> x + y), 6) AS d
+      FROM qres, t0_c{_PQ_ITERS - 1} cb),
+    adt1 AS (
+      SELECT qres.q_id, qres.pc, cb.cid,
+             round(list_reduce(list_transform(range({_PQ_HALF}),
+                   j -> (rv[j+{_PQ_HALF}+1] - cb.cv[j+1])
+                        * (rv[j+{_PQ_HALF}+1] - cb.cv[j+1])),
+                   (x, y) -> x + y), 6) AS d
+      FROM qres, t1_c{_PQ_ITERS - 1} cb),
+    scored AS (
+      SELECT p.q_id, x.vec_id AS neighbor_id,
+             round(a0.d + a1.d, 6) AS approx_dist2
+      FROM probes p
+        JOIN coarse cr ON cr.cluster = p.pc
+        JOIN codes x ON x.vec_id = cr.vec_id AND x.vec_id <> p.q_id
+        JOIN adt0 a0 ON a0.q_id = p.q_id AND a0.pc = p.pc AND a0.cid = x.code0
+        JOIN adt1 a1 ON a1.q_id = p.q_id AND a1.pc = p.pc AND a1.cid = x.code1)
+    SELECT q_id, neighbor_id, approx_dist2, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY approx_dist2, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (FAISS IndexIVFPQ by_residual=True,
+    the library default): PQ codebooks are trained on v − centroid[list]
+    instead of raw vectors, so the quantizer spends its codewords on the
+    within-cell structure the coarse quantizer can't see — the encoding
+    that makes 2 bytes/vector usable at billion scale. The ADC table
+    becomes per-(query, probed-list): the query's residual AGAINST THAT
+    LIST's centroid is distanced to each codeword (nprobe × k × m tiny
+    lookups, map-side), and candidates join on (list, code) exactly as
+    the raw-vector variant. The oracle replays residual computation,
+    both residual-space Lloyd's fits, and the per-probe ADC tables."""
+    tune(spark)
+    from backend_etl_spark.operators.clustering import _as_double, _dist2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = clustering.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = clustering.assign_clusters(emb, coarse)
+
+    def cent_for(col):
+        expr = None
+        for cid, cv in sorted(coarse.items()):
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            expr = (
+                F.when(col == cid, arr)
+                if expr is None
+                else expr.when(col == cid, arr)
+            )
+        return expr
+
+    resid = assigned.select(
+        "vec_id",
+        "cluster",
+        F.zip_with(
+            _as_double(F.col("embedding")),
+            cent_for(F.col("cluster")),
+            lambda a, b: a - b,
+        ).alias("embedding"),
+    )
+    halves = {
+        0: F.slice("embedding", 1, _PQ_HALF),
+        1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
+    }
+    codebooks = {}
+    index = assigned.select("vec_id", "cluster")
+    for s, sl in halves.items():
+        sub = resid.select("vec_id", sl.alias("embedding"))
+        codebooks[s] = clustering.kmeans_fit(sub, k=_PQ_K, iters=_PQ_ITERS)
+        code = clustering.assign_clusters(sub, codebooks[s]).select(
+            "vec_id", F.col("cluster").alias(f"code{s}")
+        )
+        index = index.join(code, "vec_id")
+
+    # per-(query, probe) residual → per-probe ADC tables
+    probes = (
+        clustering.probe_clusters(emb.where(F.col("vec_id") < 5), coarse, nprobe=2)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+            F.explode("probes").alias("pc"),
+        )
+        .withColumn(
+            "rv", F.zip_with("qv", cent_for(F.col("pc")), lambda a, b: a - b)
+        )
+    )
+    rv_half = {
+        0: F.slice("rv", 1, _PQ_HALF),
+        1: F.slice("rv", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
+    }
+    adt = [
+        F.array(
+            *[
+                F.round(_dist2(rv_half[s], cw), 6)
+                for _, cw in sorted(codebooks[s].items())
+            ]
+        ).alias(f"adt{s}")
+        for s in rv_half
+    ]
+    queries = probes.select("q_id", "pc", *adt)
+    approx = F.round(
+        F.element_at(F.col("adt0"), F.col("code0") + 1)
+        + F.element_at(F.col("adt1"), F.col("code1") + 1),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("approx_dist2"), F.asc("neighbor_id")
+    )
+    return (
+        index.withColumnRenamed("vec_id", "neighbor_id")
+        .join(
+            F.broadcast(queries),
+            (F.col("cluster") == F.col("pc"))
+            & (F.col("neighbor_id") != F.col("q_id")),
+        )
+        .select("q_id", "neighbor_id", approx.alias("approx_dist2"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
     )

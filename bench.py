@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     # the streaming cross-crawl dedup
     "knn_ivfpq_adc",
     "knn_ivfpq_rerank",
+    "knn_ivfpq_residual",
     "dedup_semantic_semdedup",
     "corpus_drift_kl",
     "corpus_pipeline_funnel",

@@ -246,6 +246,57 @@ def test_char_entropy_bounds(spark, texts):
             assert -1e-9 <= h <= math.log2(max(d, 1)) + 5e-5
 
 
+def test_pagerank_invariants(spark, sf_dir):
+    """PageRank sanity: every node's rank is at least the teleport floor
+    0.15/N, and total rank stays ≤ 1 + ε (dangling mass is dropped, so
+    the sum can only shrink from 1)."""
+    from backend_etl_spark.catalog import REGISTRY
+
+    rows = REGISTRY["graph_pagerank_users"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] >= 0.15 / n - 1e-6 for r in rows)
+    assert total <= 1.0 + 1e-4
+    assert total >= 0.15  # teleport mass alone guarantees this
+
+
+def test_gap_fill_grid_is_complete_and_conservative(spark, sf_dir):
+    """Gap fill: the output is the full (type × hour) grid, and the
+    zero-filled cells add nothing — per-type event totals equal the raw
+    table's."""
+    from pyspark.sql import functions as F2
+
+    from backend_etl_spark.catalog import REGISTRY
+    from backend_etl_spark.sources.loader import load_table
+
+    out = REGISTRY["timeseries_gap_fill_hourly"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").where(
+        (F2.col("ts") >= "2024-01-01") & (F2.col("ts") < "2024-01-31")
+    )
+    n_types = ev.select("event_type").distinct().count()
+    assert out.count() == n_types * 30 * 24
+    got = {
+        r["event_type"]: r["s"]
+        for r in out.groupBy("event_type").agg(F2.sum("n_events").alias("s")).collect()
+    }
+    want = {
+        r["event_type"]: r["s"]
+        for r in ev.groupBy("event_type").agg(F2.count(F2.lit(1)).alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_recall_bounds(spark, sf_dir):
+    """The measured IVF-PQ recall is a valid fraction and the scanned
+    fraction is genuinely partial (< 50% of the corpus at nprobe=2/k=8)."""
+    from backend_etl_spark.catalog import REGISTRY
+
+    (r,) = REGISTRY["knn_ivfpq_recall"].fn(spark, sf_dir).collect()
+    assert 0.0 <= r["recall_at_3"] <= 1.0
+    assert 0.0 < r["avg_scanned_frac"] < 0.5
+    assert r["n_queries"] == 5
+
+
 def _py_bpe(texts, n_merges, min_pair_count=2):
     """Pure-Python reference BPE trainer mirroring bpe_train_merges'
     contract: word-frequency table, pair argmax (count desc, lhs␞rhs
