@@ -130,6 +130,46 @@ def agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_quantile_bounded",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           TRUE AS within_rank_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level attestation for the quantile SKETCH (the
+    agg_approx_count_distinct companion pattern): percentile_approx
+    (Greenwald-Khanna, accuracy=10000 ⇒ rank error ≤ 1e-4) must land
+    between the EXACT 0.49 and 0.51 quantiles — a 100× margin on the
+    published bound, emitted as a boolean both engines agree on. Only
+    Spark runs the sketch; the oracle computes the exact median, so a
+    sketch regression becomes a hash mismatch instead of hiding behind
+    an engine-specific value."""
+    tune(spark)
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "exact_median"
+            ),
+            F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("approx"),
+            F.expr("percentile(l_extendedprice, 0.49)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.51)").alias("hi"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_median",
+        ((F.col("approx") >= F.col("lo")) & (F.col("approx") <= F.col("hi"))).alias(
+            "within_rank_bound"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # window-function family
 # ---------------------------------------------------------------------------
