@@ -2275,3 +2275,109 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: apply the trained merges to the corpus (tokenizer inference)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(n_merges: int = _BPE_MERGES) -> str:
+    from backend_etl_spark.catalog.llmops2 import _bpe_cte  # self-import safe
+
+    S, SS = "chr(31)", "chr(31)||chr(31)"
+    s_expr = f"{S} || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), {SS}) || {S}"
+    for i in range(n_merges):
+        s_expr = (
+            f"replace({s_expr}, "
+            f"{S} || (SELECT lhs FROM m{i}) || {SS} || (SELECT rhs FROM m{i}) || {S}, "
+            f"{S} || (SELECT lhs FROM m{i}) || (SELECT rhs FROM m{i}) || {S})"
+        )
+    return f"""
+    WITH {_bpe_cte(n_merges)},
+    dw AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    ok AS (SELECT doc_id, w FROM dw
+           WHERE NOT contains(w, chr(31)) AND NOT contains(w, chr(30))),
+    enc AS (
+      SELECT doc_id, len(w) AS n_chars_w,
+             len(string_split(substr(s, 2, len(s) - 2), {SS})) AS n_sym
+      FROM (SELECT doc_id, w, {s_expr} AS s FROM ok)),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT)        AS n_words,
+             CAST(sum(n_chars_w) AS BIGINT)  AS n_char_symbols,
+             CAST(sum(n_sym) AS BIGINT)      AS n_bpe_tokens
+      FROM enc GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.n_words, 0)        AS n_words,
+           coalesce(agg.n_char_symbols, 0) AS n_char_symbols,
+           coalesce(agg.n_bpe_tokens, 0)   AS n_bpe_tokens,
+           CASE WHEN coalesce(agg.n_bpe_tokens, 0) > 0
+                THEN round(agg.n_char_symbols
+                           / CAST(agg.n_bpe_tokens AS DOUBLE), 4)
+           END AS compression
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+
+
+@register("bpe_encode_tokens", oracle=_bpe_encode_oracle())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE — the other half of bpe_train_merges: the
+    trained merge list (3 ranked merges, pulled once driver-side like a
+    centroid table) is applied to every document as a chain of literal
+    sentinel-safe replaces, yielding per-doc BPE token counts and the
+    chars-per-token compression ratio (what you actually budget
+    pretraining data by). Map-only over documents: merges are literals
+    in the plan, each word encodes independently inside a higher-order
+    array expression — no explode, no shuffle, no UDF. At 100 TB this
+    is the per-crawl tokenize-and-count pass; its cost IS the scan."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+    from backend_etl_spark.operators.textops import BPE_PSEP, BPE_SEP
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = textops.bpe_train_merges(docs, n_merges=_BPE_MERGES)
+    sep2 = BPE_SEP + BPE_SEP
+
+    def encode(word):
+        # word -> "\x1fc\x1f\x1fc\x1f..." then ranked literal merges
+        s = F.concat(
+            F.lit(BPE_SEP),
+            F.array_join(
+                F.filter(F.split(word, ""), lambda c: c != F.lit("")), sep2
+            ),
+            F.lit(BPE_SEP),
+        )
+        for m in merges:
+            s = F.replace(
+                s,
+                F.lit(BPE_SEP + m["lhs"] + sep2 + m["rhs"] + BPE_SEP),
+                F.lit(BPE_SEP + m["lhs"] + m["rhs"] + BPE_SEP),
+            )
+        return s
+
+    ok = F.filter(
+        tokens(F.col("text")),
+        lambda w: ~F.contains(w, F.lit(BPE_SEP)) & ~F.contains(w, F.lit(BPE_PSEP)),
+    )
+    n_sym = lambda w: F.size(  # noqa: E731 - small plan-side lambda
+        F.split(F.substring(encode(w), 2, F.length(encode(w)) - 2), sep2)
+    )
+    sum_over = lambda arr, f: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, w: acc + f(w).cast("bigint")
+    )
+    n_tok = sum_over(ok, n_sym)
+    return docs.select(
+        "doc_id",
+        F.size(ok).cast("bigint").alias("n_words"),
+        sum_over(ok, F.length).alias("n_char_symbols"),
+        n_tok.alias("n_bpe_tokens"),
+        F.when(
+            n_tok > 0,
+            F.round(
+                sum_over(ok, F.length) / n_tok.cast("double"),
+                4,
+            ),
+        ).alias("compression"),
+    )

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "pack_sequences_2048",
     "text_rag_chunks",
     "bpe_train_merges",
+    "bpe_encode_tokens",
     "agg_top_bigrams",
     # round 4 additions: composed IVF-PQ, the end-to-end corpus funnel,
     # layout-at-rest sessionize, a direct ingest-projection fixture, and
