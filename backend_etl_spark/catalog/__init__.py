@@ -9,6 +9,7 @@ from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
     relational,
     relational2,
     relational3,
+    sketchq,
     streamingq,
 )
 from backend_etl_spark.catalog.registry import REGISTRY, QuerySpec

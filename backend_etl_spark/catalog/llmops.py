@@ -758,6 +758,42 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             round(ln((('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT + 0.5) / 4294967296.0)
+                   / greatest(n_chars, 1), 10) AS sample_key
+      FROM documents)
+    SELECT doc_id, n_chars, sample_key
+    FROM k ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006
+    A-Res): inclusion probability ∝ n_chars, via the deterministic
+    ln(u)/w key — 'sample long/high-quality docs more often', the
+    curation counterpart of temperature resampling but exact-k and
+    replacement-free.
+
+    Scale shape: key computation is map-only; orderBy+limit compiles to
+    TakeOrdered (per-partition top-k heaps, k-row driver merge — no
+    global sort), so the plan is the same one-pass shape at any corpus
+    size. The md5-derived u makes the sample engine-portable: the
+    DuckDB oracle draws the identical sample."""
+    tune(spark)
+    from backend_etl_spark.operators.curation import weighted_sample
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+        F.col("n_chars"),
+        100,
+    )
+
+
+@register(
     "curation_token_budget_pack",
     oracle=rf"""
     WITH q AS (

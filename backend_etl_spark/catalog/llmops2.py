@@ -695,16 +695,18 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM (SELECT unnest(t) AS tok FROM toks)),
     scored AS (
       SELECT bg.doc_id,
-             log2((bc.c + 1) / CAST(ctx.cc + vocab AS DOUBLE)) AS lp
+             CAST(round(log2((bc.c + 1) / CAST(ctx.cc + vocab AS DOUBLE)), 6)
+                  AS DECIMAL(18, 6)) AS lp
       FROM bg
         JOIN bc USING (bigram)
         JOIN ctx ON ctx.w = string_split(bg.bigram, ' ')[1]
         CROSS JOIN v)
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(lp), 4)        AS avg_log2p,
-           round(pow(2, -avg(lp)), 4) AS perplexity
-    FROM scored GROUP BY doc_id
+           CAST(n AS BIGINT) AS n_bigrams,
+           round(s / n, 4)   AS avg_log2p,
+           round(pow(2, -(s / n)), 4) AS perplexity
+    FROM (SELECT doc_id, count(*) AS n, CAST(sum(lp) AS DOUBLE) AS s
+          FROM scored GROUP BY doc_id)
     """,
 )
 def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,20 +744,30 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct bigrams), so the corpus-sized bg relation shuffles only
     # twice: once onto the bigram key for the stats join, once back onto
     # doc_id for the rollup — the ctx/vocab joins never touch corpus rows
-    lp = F.log2((F.col("c") + 1) / (F.col("cc") + F.col("vocab")).cast("double"))
+    # round to 6 dp and sum as exact DECIMAL so the per-doc mean is
+    # independent of float summation order (engine-portable at any SF)
+    lp = F.round(
+        F.log2((F.col("c") + 1) / (F.col("cc") + F.col("vocab")).cast("double")), 6
+    ).cast("decimal(18,6)")
     lp_per_bigram = (
         bc.join(ctx, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w"))
         .crossJoin(F.broadcast(vocab))
         .select("bigram", lp.alias("lp"))
     )
-    return (
+    per_doc = (
         bg.join(lp_per_bigram, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(F.avg("lp"), 4).alias("avg_log2p"),
-            F.round(F.pow(F.lit(2.0), -F.avg("lp")), 4).alias("perplexity"),
+            F.sum("lp").cast("double").alias("s"),
         )
+    )
+    mean = F.col("s") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(mean, 4).alias("avg_log2p"),
+        F.round(F.pow(F.lit(2.0), -mean), 4).alias("perplexity"),
     )
 
 
@@ -2380,4 +2392,168 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         ).alias("compression"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# trigram stupid-backoff LM (Brants et al. 2007, "Large Language Models
+# in Machine Translation") — the n>2 generalization of
+# quality_bigram_logprob, trained on a 90% split so the held-out 10%
+# actually exercises the backoff chain
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tr AS (SELECT doc_id, t FROM toks WHERE doc_id % 10 <> 0),
+    g3 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(t) >= 3
+                              THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                              ELSE CAST([] AS VARCHAR[]) END) AS g
+           FROM toks),
+    c3 AS (SELECT g, count(*) AS c FROM (
+             SELECT unnest(CASE WHEN len(t) >= 3
+                           THEN list_transform(range(len(t) - 2),
+                                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                           ELSE CAST([] AS VARCHAR[]) END) AS g FROM tr)
+           GROUP BY g),
+    c2 AS (SELECT g, count(*) AS c FROM (
+             SELECT unnest(CASE WHEN len(t) >= 2
+                           THEN list_transform(range(len(t) - 1),
+                                i -> t[i+1] || ' ' || t[i+2])
+                           ELSE CAST([] AS VARCHAR[]) END) AS g FROM tr)
+           GROUP BY g),
+    c1 AS (SELECT w, count(*) AS c
+           FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+    nv AS (SELECT (SELECT sum(len(t)) FROM tr) AS n,
+                  (SELECT count(DISTINCT w)
+                   FROM tr, unnest(tr.t) u(w)) AS v),
+    gd AS (SELECT DISTINCT g, string_split(g, ' ')[1] AS w1,
+                  string_split(g, ' ')[2] AS w2, string_split(g, ' ')[3] AS w3
+           FROM g3),
+    scored AS (
+      SELECT gd.g,
+             CAST(round(log2(CASE
+               WHEN c3.c IS NOT NULL
+                 THEN c3.c / CAST(c2a.c AS DOUBLE)
+               WHEN c2b.c IS NOT NULL
+                 THEN 0.4 * c2b.c / CAST(c1b.c AS DOUBLE)
+               ELSE 0.16 * (COALESCE(c1c.c, 0) + 1) / CAST(nv.n + nv.v AS DOUBLE)
+             END), 6) AS DECIMAL(18, 6)) AS lp
+      FROM gd
+        LEFT JOIN c3 ON c3.g = gd.g
+        LEFT JOIN c2 c2a ON c2a.g = gd.w1 || ' ' || gd.w2
+        LEFT JOIN c2 c2b ON c2b.g = gd.w2 || ' ' || gd.w3
+        LEFT JOIN c1 c1b ON c1b.w = gd.w2
+        LEFT JOIN c1 c1c ON c1c.w = gd.w3
+        CROSS JOIN nv)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_trigrams,
+           round(s / n, 4)   AS avg_log2s,
+           round(pow(2, -(s / n)), 4) AS pseudo_perplexity
+    FROM (SELECT g3.doc_id, count(*) AS n,
+                 CAST(sum(scored.lp) AS DOUBLE) AS s
+          FROM g3 JOIN scored ON scored.g = g3.g
+          GROUP BY g3.doc_id)
+"""
+
+
+@register("quality_trigram_backoff", oracle=_TRIGRAM_ORACLE)
+def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM score (Brants et al. 2007): per doc,
+    mean log2 S(w3|w1,w2) where S = c3/c2 when the trigram was seen in
+    training, else 0.4·c2/c1 on the (w2,w3) bigram, else 0.4²·Laplace
+    unigram — trained on the 90% of docs with doc_id % 10 != 0 and
+    scored over ALL docs, so held-out docs genuinely walk the backoff
+    chain (unlike scoring the training corpus, where c3 ≥ 1 always).
+
+    Scale shape (same discipline as quality_bigram_logprob): the three
+    count tables + the (N, V) scalar are Zipf-bounded aggregates; the
+    backoff CASE is assembled stats-side over DISTINCT corpus trigrams,
+    so corpus-sized rows shuffle exactly twice (onto the trigram key,
+    back onto doc_id) and every stats join runs on bounded relations
+    AQE can broadcast. At 100 TB the stats persist once; each new crawl
+    scores map-side against the broadcast score table."""
+    tune(spark)
+    from backend_etl_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    tg = doc_shingles(docs, "doc_id", "text", n=3, distinct=False).select(
+        "doc_id", F.col("shingle").alias("g")
+    )
+    c3 = (
+        doc_shingles(train, "doc_id", "text", n=3, distinct=False)
+        .groupBy(F.col("shingle").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c2 = (
+        doc_shingles(train, "doc_id", "text", n=2, distinct=False)
+        .groupBy(F.col("shingle").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    from backend_etl_spark.functions.scalars import tokens
+
+    uni = train.select(F.explode(tokens(F.col("text"))).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    nv = uni.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("w").alias("v")
+    )
+    gd = tg.select("g").distinct().select(
+        "g",
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(3)).alias("w3"),
+    )
+    b12 = F.concat_ws(" ", F.col("w1"), F.col("w2"))
+    b23 = F.concat_ws(" ", F.col("w2"), F.col("w3"))
+    scored = (
+        gd.join(c3, "g", "left")
+        .join(c2.select(F.col("g").alias("g12"), F.col("c2").alias("c2a")),
+              b12 == F.col("g12"), "left")
+        .join(c2.select(F.col("g").alias("g23"), F.col("c2").alias("c2b")),
+              b23 == F.col("g23"), "left")
+        .join(c1.select(F.col("w").alias("wb"), F.col("c1").alias("c1b")),
+              F.col("w2") == F.col("wb"), "left")
+        .join(c1.select(F.col("w").alias("wc"), F.col("c1").alias("c1c")),
+              F.col("w3") == F.col("wc"), "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "g",
+            # round to 6 dp and sum as exact DECIMAL so the per-doc mean
+            # is independent of float summation order (engine-portable)
+            F.round(
+                F.log2(
+                    F.when(
+                        F.col("c3").isNotNull(),
+                        F.col("c3") / F.col("c2a").cast("double"),
+                    )
+                    .when(
+                        F.col("c2b").isNotNull(),
+                        0.4 * F.col("c2b") / F.col("c1b").cast("double"),
+                    )
+                    .otherwise(
+                        0.16
+                        * (F.coalesce(F.col("c1c"), F.lit(0)) + 1)
+                        / (F.col("n") + F.col("v")).cast("double")
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    per_doc = (
+        tg.join(scored, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("lp").cast("double").alias("s"),
+        )
+    )
+    mean = F.col("s") / F.col("n_trigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        F.round(mean, 4).alias("avg_log2s"),
+        F.round(F.pow(F.lit(2.0), -mean), 4).alias("pseudo_perplexity"),
     )

@@ -1,0 +1,150 @@
+"""Sketch-based approximate operators: Count-Min heavy-hitter counts
+and Bloom-filter runtime join pruning.
+
+Completes the sketch family (HLL++ `agg_approx_count_distinct` /
+`agg_approx_error_bounded`, quantile `agg_approx_quantile_bounded`)
+with the two classic mergeable sketches PySpark 4 does not expose to
+Python — built as DataFrame aggregations in operators/sketch.py on the
+engine-portable md5 hash family, so the DuckDB oracle replays the
+Count-Min sketch bit-for-bit (full value attestation, not a rows-only
+carve-out), and the Bloom-pruned join is attested against the plain
+join it must be semantically identical to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_etl_spark.catalog.registry import register
+from backend_etl_spark.operators import sketch
+from backend_etl_spark.session import tune
+from backend_etl_spark.sources.loader import load_table
+
+_CMS_D = 4
+_CMS_W = 64  # deliberately narrow so collisions are visible at test SFs
+
+_CMS_ORACLE = f"""
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    tot AS (SELECT count(*) AS n_total FROM events),
+    h AS (SELECT k, t.r,
+                 ('0x' || substr(md5('cms' || t.r || '#' || k), 1, 8))::BIGINT
+                   % {_CMS_W} AS c
+          FROM k, range({_CMS_D}) t(r)),
+    sk AS (SELECT r, c, count(*) AS cnt FROM h GROUP BY r, c),
+    ex AS (SELECT k, count(*) AS exact_n FROM k GROUP BY k
+           ORDER BY exact_n DESC, CAST(k AS BIGINT) LIMIT 10),
+    est AS (SELECT ex.k, min(sk.cnt) AS cms_est
+            FROM ex, range({_CMS_D}) t(r)
+            JOIN sk ON sk.r = t.r
+                   AND sk.c = ('0x' || substr(md5('cms' || t.r || '#' || ex.k),
+                                              1, 8))::BIGINT % {_CMS_W}
+            GROUP BY ex.k)
+    SELECT CAST(ex.k AS BIGINT) AS user_id,
+           CAST(ex.exact_n AS BIGINT) AS exact_n,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           est.cms_est <= ex.exact_n
+             + CAST(ceil(2.718281828459045 * tot.n_total / {_CMS_W}.0) AS BIGINT)
+             AS within_eps
+    FROM ex JOIN est ON est.k = ex.k CROSS JOIN tot
+"""
+
+
+@register("sketch_count_min_bounded", oracle=_CMS_ORACLE)
+def sketch_count_min_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4, w=64) over events.user_id, point-queried
+    for the 10 heaviest hitters, with the published error bound
+    est ≤ exact + ⌈(e/w)·N⌉ (Cormode & Muthukrishnan 2005) emitted as a
+    per-key boolean.
+
+    The DuckDB oracle rebuilds the identical sketch from the identical
+    md5 hashes, so the estimates themselves are hash-attested — unlike
+    HLL++, whose engine-specific sketch needs the bounded-error
+    companion pattern. w=64 < |keys| forces real collisions at every
+    test SF: cms_est genuinely overcounts and the bound still holds.
+
+    Scale shape: sketch build is one explode + one bounded groupBy
+    (map-side partial counters merge in the shuffle — ≤ d·w rows move
+    per input partition); heavy-hitter estimation is a broadcast join
+    against the ≤ d·w-row sketch. Nothing driver-side.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    sk = sketch.cms_build(ev.select(key.alias("k")), F.col("k"), _CMS_D, _CMS_W)
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(10)
+        .select(F.col("user_id").cast("string").alias("k"), "exact_n")
+    )
+    est = sketch.cms_estimate(sk, ex.select("k"), "k", _CMS_D, _CMS_W)
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    bound = F.ceil(F.lit(2.718281828459045) * F.col("n_total") / float(_CMS_W))
+    return (
+        ex.join(est, "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") <= F.col("exact_n") + bound).alias("within_eps"),
+        )
+    )
+
+
+_BLOOM_M = 1 << 17
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = """
+    SELECT l.l_returnflag, l.l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag, l.l_linestatus
+"""
+
+
+@register("join_bloom_runtime_filter", oracle=_BLOOM_ORACLE)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled runtime bloom-filter join pruning — the PySpark-
+    accessible version of Spark's row-level runtime filtering: build a
+    128 Ki-bit / 3-hash Bloom bitmask over the selective build side
+    (urgent 1997+ orders, ~14% of orders), broadcast it as ONE array
+    literal, and drop ~86% of lineitem probe rows with two O(1) bit ops
+    per hash BEFORE they reach the join — at 100 TB that is the
+    difference between shuffling the whole fact table and shuffling the
+    matching slice. No false negatives (Bloom 1970), so the result is
+    provably identical to the plain join the oracle runs; false
+    positives are removed by the (broadcast) join itself.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    build = orders.select("o_orderkey").distinct()
+    bits = sketch.bloom_build(
+        build, F.col("o_orderkey").cast("string"), _BLOOM_M, _BLOOM_K
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    pruned = li.crossJoin(F.broadcast(bits)).where(
+        sketch.bloom_might_contain(
+            F.col("bits"), F.col("l_orderkey").cast("string"), _BLOOM_M, _BLOOM_K
+        )
+    )
+    return (
+        pruned.join(F.broadcast(build), pruned.l_orderkey == build.o_orderkey)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

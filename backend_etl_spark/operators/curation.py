@@ -178,3 +178,35 @@ def leakage_safe_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def weighted_sample_keys(
+    id_col: Column | str, weight: Column, seed_tag: str = "ws#"
+) -> Column:
+    """Efraimidis–Spirakis (2006) A-Res key for weighted sampling
+    without replacement: rank by ln(u)/w (order-equivalent to u^(1/w)),
+    u drawn deterministically from the md5 hash of the id — so the
+    sample is reproducible on every engine and under any partitioning,
+    like every other sampler here. Rounded to 10 dp so cross-engine
+    ln() ulp differences cannot reorder keys (doc-id tie-break handles
+    the rounded collisions identically on both sides)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed_tag), c.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + 0.5) / 4294967296.0
+    return F.round(F.log(u) / F.greatest(weight, F.lit(1)).cast("double"), 10)
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight: Column, k: int
+) -> DataFrame:
+    """Top-k rows by A-Res key: inclusion probability proportional to
+    weight, without replacement — the 'sample high-quality docs more
+    often' curation move. orderBy+limit compiles to TakeOrdered
+    (per-partition heaps + a k-row driver merge), never a global sort."""
+    return (
+        df.withColumn("sample_key", weighted_sample_keys(id_col, weight))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

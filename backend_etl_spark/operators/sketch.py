@@ -1,0 +1,168 @@
+"""Mergeable frequency/membership sketches as DataFrame aggregations.
+
+Count-Min (Cormode & Muthukrishnan 2005) and Bloom (Bloom 1970) built
+from scratch on portable md5-derived hashes, because PySpark 4 exposes
+neither ``bloom_filter_agg`` nor ``DataFrameStatFunctions.countMinSketch``
+to Python — and because a DataFrame-native build is exactly what a
+multi-executor cluster wants anyway:
+
+- the CMS is a (depth × width) counter relation produced by ONE
+  explode + groupBy — each executor builds partial counters map-side
+  and the shuffle merges them (sketches are mergeable by construction);
+  estimates are a bounded join against that relation, never a collect.
+- the Bloom filter is a dense bigint bitmask array assembled in a
+  1-row aggregate and broadcast to the probe side, where membership is
+  two O(1) JVM-side bit operations per hash — the hand-rolled version
+  of Spark's runtime row-level bloom pruning, usable from PySpark.
+
+The md5-hash family (seeded ``'<tag><i>#' || key``) matches the
+engine-portable idiom used across operators/dedup.py, so DuckDB oracles
+can replay the *identical* sketch bit-for-bit.
+
+Reference parity: the reference has no sketches at all (its dedup is
+``ON CONFLICT DO NOTHING``, utils/db_helpers.py:92-301); these are the
+approximate counterparts a 100 TB corpus needs when exact per-key state
+no longer fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORD_BITS = 64
+
+
+def _shl(value: F.Column, bits: F.Column) -> F.Column:
+    """shiftleft with a *column* shift amount — the `F.shiftleft` Python
+    wrapper only accepts a literal int."""
+    return F.call_function("shiftleft", value, bits.cast("int"))
+
+
+def _portable_hash(tag: str, i: int, key: F.Column, modulus: int) -> F.Column:
+    """First 8 hex chars of md5('<tag><i>#' || key) as a non-negative
+    bigint mod ``modulus`` — identical to DuckDB's
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % modulus``."""
+    seed = F.concat(F.lit(f"{tag}{i}#"), key)
+    return (
+        F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("bigint") % modulus
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_build(df: DataFrame, key: F.Column, depth: int, width: int) -> DataFrame:
+    """Count-Min counter relation ``(r, c, cnt)`` with depth·width rows.
+
+    One explode (depth rows per input row, map-side) + one groupBy on
+    the bounded (r, c) key: partial counters combine map-side, so the
+    shuffle moves at most depth·width rows per input partition no
+    matter how many input rows there are — the mergeable-sketch
+    property, realized by Spark's partial aggregation.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("r"),
+                        _portable_hash("cms", r, key, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.r", "cell.c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: est(k) =
+    min over rows r of counter[r][h_r(k)]. A bounded equi-join on the
+    (r, c) cell key — the sketch side is ≤ depth·width rows, so AQE
+    broadcasts it; no collect anywhere."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("r"),
+                        _portable_hash("cms", r, F.col(key_col), width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, "cell.r", "cell.c")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(df: DataFrame, key: F.Column, m_bits: int, k: int) -> DataFrame:
+    """1-row DataFrame with a dense ``bits: array<bigint>`` bitmask of
+    length m_bits/64.
+
+    Shape: explode k positions per key (map-side) → groupBy word →
+    bit_or of the set bits (partial-aggregated, ≤ m_bits/64 rows move)
+    → one 1-row aggregate densifies the sparse (word, mask) pairs into
+    the array. The result is broadcast-sized by construction
+    (m_bits/64 bigints) regardless of build-side cardinality.
+    """
+    n_words = m_bits // _WORD_BITS
+    pos = df.select(
+        F.explode(
+            F.array(*[_portable_hash("bloom", i, key, m_bits) for i in range(k)])
+        ).alias("p")
+    )
+    words = pos.select(
+        (F.col("p") / _WORD_BITS).cast("bigint").alias("w"),
+        _shl(F.lit(1).cast("bigint"), F.col("p") % _WORD_BITS).alias("b"),
+    ).groupBy("w").agg(F.bit_or("b").alias("mask"))
+    mm = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mm")
+    )
+    return mm.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_words - 1).cast("bigint")),
+            lambda w: F.coalesce(
+                F.call_function("element_at", F.col("mm"), w),
+                F.lit(0).cast("bigint"),
+            ),
+        ).alias("bits")
+    )
+
+
+def bloom_might_contain(
+    bits: F.Column, key: F.Column, m_bits: int, k: int
+) -> F.Column:
+    """Membership test against a ``bloom_build`` bitmask column: all k
+    hash bits set. Two O(1) bit ops per hash, pure JVM expressions
+    inside whole-stage codegen — no false negatives, so filtering a
+    join's probe side with it before the shuffle is semantics-preserving
+    (false positives are removed by the join itself)."""
+    checks = []
+    for i in range(k):
+        p = _portable_hash("bloom", i, key, m_bits)
+        word = F.get(bits, (p / _WORD_BITS).cast("int"))
+        bit = _shl(F.lit(1).cast("bigint"), p % _WORD_BITS)
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

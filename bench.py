@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "streaming_incremental_dedup",
     "timeseries_gap_fill_hourly",
     "graph_pagerank_users",
+    # round 4, session 2: portable sketches + trigram backoff LM
+    "sketch_count_min_bounded",
+    "join_bloom_runtime_filter",
+    "quality_trigram_backoff",
 ]
 
 
