@@ -781,6 +781,36 @@ _PQ_DIM = 64  # fixture embedding dim (asserted at runtime)
 _PQ_HALF = _PQ_DIM // 2
 
 
+def _adc_maps(codebooks: dict, dist) -> list:
+    """Per-query ADC tables as cid-keyed MAPS, not positional arrays:
+    Lloyd's can empty a cell and drop its cid from the codebook (see
+    kmeans_fit), so array position ≠ codeword id in general — a
+    positional element_at(arr, code+1) would silently read a wrong
+    cell's distance (or throw past-the-end under ANSI) the day a
+    codebook comes back sparse. Keying the lookup by the code itself is
+    immune, and matches the oracle, which joins on the actual cid.
+    ``dist(s, cw)`` returns the query↔codeword distance expression for
+    subspace ``s``."""
+    return [
+        F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in sorted(codebooks[s].items())]),
+            F.array(
+                *[F.round(dist(s, cw), 6) for _, cw in sorted(codebooks[s].items())]
+            ),
+        ).alias(f"adt{s}")
+        for s in sorted(codebooks)
+    ]
+
+
+def _adc_approx() -> F.Column:
+    """approx_dist2 = ADC lookup of both subspace codes + add."""
+    return F.round(
+        F.call_function("element_at", F.col("adt0"), F.col("code0"))
+        + F.call_function("element_at", F.col("adt1"), F.col("code1")),
+        6,
+    )
+
+
 def _pq_cte(
     prefix: str,
     lo: int,
@@ -1065,24 +1095,12 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         coded = c if coded is None else coded.join(c, "vec_id")
 
     # per-query ADC tables: k rounded squared distances per subspace,
-    # ordered by codeword id (array position = code)
-    adt = [
-        F.array(
-            *[
-                F.round(_dist2(_as_double(halves[s]), cw), 6)
-                for _, cw in sorted(codebooks[s].items())
-            ]
-        ).alias(f"adt{s}")
-        for s in halves
-    ]
+    # keyed by codeword id (robust to sparse codebooks — see _adc_maps)
+    adt = _adc_maps(codebooks, lambda s, cw: _dist2(_as_double(halves[s]), cw))
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), *adt
     )
-    approx = F.round(
-        F.element_at(F.col("adt0"), F.col("code0") + 1)
-        + F.element_at(F.col("adt1"), F.col("code1") + 1),
-        6,
-    )
+    approx = _adc_approx()
     w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist2"), F.asc("neighbor_id"))
     return (
         coded.withColumnRenamed("vec_id", "neighbor_id")
@@ -1169,23 +1187,11 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str):
         )
         index = index.join(code, "vec_id")
 
-    adt = [
-        F.array(
-            *[
-                F.round(_dist2(_as_double(halves[s]), cw), 6)
-                for _, cw in sorted(codebooks[s].items())
-            ]
-        ).alias(f"adt{s}")
-        for s in halves
-    ]
+    adt = _adc_maps(codebooks, lambda s, cw: _dist2(_as_double(halves[s]), cw))
     queries = clustering.probe_clusters(
         emb.where(F.col("vec_id") < 5), coarse, nprobe=2
     ).select(F.col("vec_id").alias("q_id"), F.explode("probes").alias("pc"), *adt)
-    approx = F.round(
-        F.element_at(F.col("adt0"), F.col("code0") + 1)
-        + F.element_at(F.col("adt1"), F.col("code1") + 1),
-        6,
-    )
+    approx = _adc_approx()
     cand = (
         index.withColumnRenamed("vec_id", "neighbor_id")
         .join(
@@ -1533,8 +1539,10 @@ def knn_ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor((cum - n) / 2048) AS BIGINT)  AS seq_id,
            CAST(cum - n - 2048 * floor((cum - n) / 2048) AS BIGINT)
                                                     AS offset_in_seq,
-           CAST(floor((cum - 1) / 2048)
-                - floor((cum - n) / 2048) + 1 AS BIGINT) AS n_seqs_spanned
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE floor((cum - 1) / 2048)
+                          - floor((cum - n) / 2048) + 1 END
+                AS BIGINT) AS n_seqs_spanned
     FROM c
     """,
 )
@@ -1576,7 +1584,12 @@ def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_tokens"),
         F.floor(start / 2048).cast("bigint").alias("seq_id"),
         (start - 2048 * F.floor(start / 2048)).cast("bigint").alias("offset_in_seq"),
-        (F.floor((cum - 1) / 2048) - F.floor(start / 2048) + 1)
+        # a zero-token doc spans 0 sequences by definition — without the
+        # guard the raw formula gives 0 only when its offset lands on a
+        # 2048 boundary and 1 everywhere else (boundary-dependent values
+        # for identical empty inputs)
+        F.when(F.col("n") == 0, F.lit(0))
+        .otherwise(F.floor((cum - 1) / 2048) - F.floor(start / 2048) + 1)
         .cast("bigint")
         .alias("n_seqs_spanned"),
     )
@@ -1650,7 +1663,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical iterations in SQL."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    merges = textops.bpe_train_merges(docs, n_merges=_BPE_MERGES)
+    # min_pair_count=1: the oracle unrolls ALL _BPE_MERGES iterations
+    # unconditionally, so the catalog entry must not stop early; the
+    # default-2 convergence guard is a production knob covered by the
+    # n=50 bounded-time run in tests/test_properties.py
+    merges = textops.bpe_train_merges(docs, n_merges=_BPE_MERGES, min_pair_count=1)
     return spark.createDataFrame(
         [
             (m["merge_rank"], m["lhs"], m["rhs"], m["pair_count"], m["vocab_size_after"])
@@ -2258,21 +2275,9 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         0: F.slice("rv", 1, _PQ_HALF),
         1: F.slice("rv", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
     }
-    adt = [
-        F.array(
-            *[
-                F.round(_dist2(rv_half[s], cw), 6)
-                for _, cw in sorted(codebooks[s].items())
-            ]
-        ).alias(f"adt{s}")
-        for s in rv_half
-    ]
+    adt = _adc_maps(codebooks, lambda s, cw: _dist2(rv_half[s], cw))
     queries = probes.select("q_id", "pc", *adt)
-    approx = F.round(
-        F.element_at(F.col("adt0"), F.col("code0") + 1)
-        + F.element_at(F.col("adt1"), F.col("code1") + 1),
-        6,
-    )
+    approx = _adc_approx()
     w = Window.partitionBy("q_id").orderBy(
         F.asc("approx_dist2"), F.asc("neighbor_id")
     )
@@ -2349,7 +2354,11 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_etl_spark.operators.textops import BPE_PSEP, BPE_SEP
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = textops.bpe_train_merges(docs, n_merges=_BPE_MERGES)
+    # min_pair_count=1: the oracle unrolls ALL _BPE_MERGES iterations
+    # unconditionally, so the catalog entry must not stop early; the
+    # default-2 convergence guard is a production knob covered by the
+    # n=50 bounded-time run in tests/test_properties.py
+    merges = textops.bpe_train_merges(docs, n_merges=_BPE_MERGES, min_pair_count=1)
     sep2 = BPE_SEP + BPE_SEP
 
     def encode(word):

@@ -1262,19 +1262,25 @@ def bucketed_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain shuffling entry exactly. At 100 TB this converts every
     per-user stage downstream of the nightly ingest write into a
     shuffle-free local sort."""
+    import os
     import tempfile
 
     from backend_etl_spark.sources.loader import write_bucketed
 
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # fixed per-table location (write_bucketed rmtree's it first): every
+    # invocation reuses ONE directory instead of leaking a fresh
+    # mkdtemp copy of the table per bench/test run
     write_bucketed(
         ev,
         "events_by_user",
         "user_id",
         n_buckets=8,
         sort=False,
-        path=tempfile.mkdtemp(prefix="spark-graft-bucketed-"),
+        path=os.path.join(
+            tempfile.gettempdir(), "spark-graft-layout", "events_by_user"
+        ),
     )
     return sessionize_frame(spark.table("events_by_user"))
 
@@ -1303,6 +1309,7 @@ def partitioned_ship_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     opened, tests assert it reaches the scan), and the aggregate runs on
     the 1/7th slice. The partition column is derived at write time
     (year(l_shipdate)) — the standard time-partitioned fact layout."""
+    import os
     import tempfile
 
     from backend_etl_spark.sources.loader import write_partitioned
@@ -1314,11 +1321,14 @@ def partitioned_ship_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_discount",
         F.year("l_shipdate").alias("ship_year"),
     )
+    # fixed per-table location — see bucketed_sessionize_events
     write_partitioned(
         li,
         "lineitem_by_shipyear",
         "ship_year",
-        path=tempfile.mkdtemp(prefix="spark-graft-partitioned-"),
+        path=os.path.join(
+            tempfile.gettempdir(), "spark-graft-layout", "lineitem_by_shipyear"
+        ),
     )
     return (
         spark.table("lineitem_by_shipyear")

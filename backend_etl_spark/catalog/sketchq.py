@@ -34,12 +34,14 @@ _CMS_ORACLE = f"""
     sk AS (SELECT r, c, count(*) AS cnt FROM h GROUP BY r, c),
     ex AS (SELECT k, count(*) AS exact_n FROM k GROUP BY k
            ORDER BY exact_n DESC, CAST(k AS BIGINT) LIMIT 10),
-    est AS (SELECT ex.k, min(sk.cnt) AS cms_est
-            FROM ex, range({_CMS_D}) t(r)
-            JOIN sk ON sk.r = t.r
-                   AND sk.c = ('0x' || substr(md5('cms' || t.r || '#' || ex.k),
-                                              1, 8))::BIGINT % {_CMS_W}
-            GROUP BY ex.k)
+    probes AS (SELECT ex.k, t.r,
+                      ('0x' || substr(md5('cms' || t.r || '#' || ex.k),
+                                      1, 8))::BIGINT % {_CMS_W} AS c
+               FROM ex, range({_CMS_D}) t(r)),
+    est AS (SELECT p.k, min(coalesce(sk.cnt, 0)) AS cms_est
+            FROM probes p
+            LEFT JOIN sk ON sk.r = p.r AND sk.c = p.c
+            GROUP BY p.k)
     SELECT CAST(ex.k AS BIGINT) AS user_id,
            CAST(ex.exact_n AS BIGINT) AS exact_n,
            CAST(est.cms_est AS BIGINT) AS cms_est,

@@ -87,7 +87,10 @@ def cms_estimate(
     """Point-query the sketch for every row of ``keys``: est(k) =
     min over rows r of counter[r][h_r(k)]. A bounded equi-join on the
     (r, c) cell key — the sketch side is ≤ depth·width rows, so AQE
-    broadcasts it; no collect anywhere."""
+    broadcasts it; no collect anywhere. LEFT join + coalesce(cnt, 0):
+    a counter cell no build key hashed into is absent from the sparse
+    relation but its value is 0 — an inner join would skip it and
+    inflate (or drop) estimates for keys outside the build stream."""
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -103,9 +106,13 @@ def cms_estimate(
         ).alias("cell"),
     ).select(key_col, "cell.r", "cell.c")
     return (
-        probes.join(F.broadcast(sketch), ["r", "c"])
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )
 
 

@@ -56,7 +56,10 @@ def global_windows(df: DataFrame) -> list[str]:
     [partition exprs..., sort orders..., frame]; sort orders always
     render with a direction (``ASC``/``DESC NULLS ...``) and partition
     exprs never do — so a spec whose FIRST argument is a sort order (or
-    the frame itself) has an empty partition clause.
+    the frame itself) has an empty partition clause. A first argument
+    with no attribute reference (no ``#<exprId>``, e.g. a literal
+    ``partitionBy(lit(0))``) is flagged too: a constant partition spec
+    funnels every row through one task exactly like no partition spec.
     """
     text = plan_text(df)
     offenders: list[str] = []
@@ -79,8 +82,10 @@ def global_windows(df: DataFrame) -> list[str]:
             elif ch == ")":
                 d -= 1
         first = first.strip()
-        if first.startswith("specifiedwindowframe") or re.search(
-            r"\b(ASC|DESC)\b", first
+        if (
+            first.startswith("specifiedwindowframe")
+            or re.search(r"\b(ASC|DESC)\b", first)
+            or "#" not in first
         ):
             offenders.append(spec)
     return offenders

@@ -292,3 +292,21 @@ def test_incremental_snapshot_probe_is_equi_join(spark, sf_dir):
     txt = quality.plan_text(df)
     assert "BroadcastNestedLoopJoin" not in txt
     assert not quality.has_cartesian(df)
+
+
+def test_global_window_gate_catches_constant_partition(spark):
+    """partitionBy(lit(0)) is a disguised global window — one task gets
+    every row. The gate must flag it, not just the partition-less form."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(100)
+    disguised = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("id"))
+    )
+    assert quality.global_windows(disguised), "constant partition spec not flagged"
+    honest = df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(df.id % 8).orderBy("id")),
+    )
+    assert not quality.global_windows(honest)

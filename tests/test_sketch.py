@@ -29,6 +29,18 @@ class TestCountMin:
         for r in joined:
             assert r["cms_est"] >= r["exact"], r
 
+    def test_non_member_key_estimates_zero(self, spark):
+        # with width >> keys, a never-inserted key's cells are all empty
+        # counters (absent from the sparse relation == 0) — the estimate
+        # must be 0, not inflated or missing
+        df = _keys_df(spark, ["a", "b", "c"])
+        sk = sketch.cms_build(df, F.col("k"), depth=4, width=4096)
+        est = sketch.cms_estimate(
+            sk, _keys_df(spark, ["never-seen"]), "k", depth=4, width=4096
+        ).collect()
+        assert len(est) == 1
+        assert est[0]["cms_est"] == 0
+
     def test_sketch_is_bounded(self, spark):
         df = _keys_df(spark, [f"k{i}" for i in range(500)])
         sk = sketch.cms_build(df, F.col("k"), depth=4, width=16)
