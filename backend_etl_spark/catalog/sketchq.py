@@ -52,6 +52,33 @@ _CMS_ORACLE = f"""
 """
 
 
+def _cms_heavy_hitters(ev: DataFrame, sk: DataFrame) -> DataFrame:
+    """Top-10 exact heavy hitters of events.user_id annotated with their
+    CMS estimate from ``sk`` and the published est ≤ exact + ⌈(e/w)·N⌉
+    bound as a per-key boolean — shared by the batch-built and the
+    streaming-merged sketch entries (both must hash-match _CMS_ORACLE)."""
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(10)
+        .select(F.col("user_id").cast("string").alias("k"), "exact_n")
+    )
+    est = sketch.cms_estimate(sk, ex.select("k"), "k", _CMS_D, _CMS_W)
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    bound = F.ceil(F.lit(2.718281828459045) * F.col("n_total") / float(_CMS_W))
+    return (
+        ex.join(est, "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") <= F.col("exact_n") + bound).alias("within_eps"),
+        )
+    )
+
+
 @register("sketch_count_min_bounded", oracle=_CMS_ORACLE)
 def sketch_count_min_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (d=4, w=64) over events.user_id, point-queried
@@ -74,26 +101,60 @@ def sketch_count_min_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     key = F.col("user_id").cast("string")
     sk = sketch.cms_build(ev.select(key.alias("k")), F.col("k"), _CMS_D, _CMS_W)
-    ex = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
-        .limit(10)
-        .select(F.col("user_id").cast("string").alias("k"), "exact_n")
+    return _cms_heavy_hitters(ev, sk)
+
+
+@register("streaming_sketch_cms_merge", oracle=_CMS_ORACLE)
+def streaming_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch property, run as a real incremental
+    pipeline: events arrive as a multi-batch availableNow file stream,
+    each micro-batch builds its own partial CMS counter relation inside
+    foreachBatch, and the partials are merged by summing cells — counts
+    are additive, so merged counters are IDENTICAL to the one-shot batch
+    sketch and this entry shares sketch_count_min_bounded's oracle.
+
+    Restart safety: each batch's partials land at a batch_id-keyed path
+    with overwrite, so checkpoint replay of a batch rewrites the same
+    cells instead of double-counting (the per-batch-idempotent sink
+    discipline). At-least-once *source* redelivery, by contrast, must be
+    deduped upstream (W5 / dropDuplicatesWithinWatermark) — a counting
+    sketch counts deliveries, by design.
+
+    Scale shape: per batch ≤ d·w counter rows are written; the merge
+    reads ≤ n_batches·d·w rows — never the event stream again. This is
+    how a 100 TB/day feed keeps a live heavy-hitter table: tiny partial
+    sketches ride each micro-batch, the serving side folds them.
+    """
+    import tempfile
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="spark-graft-cms-stream-")
+    src, sink, ckpt = f"{base}/src", f"{base}/cells", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(F.col("user_id").cast("string").alias("k")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def _partial(batch: DataFrame, batch_id: int) -> None:
+        cells = sketch.cms_build(batch, F.col("k"), _CMS_D, _CMS_W)
+        cells.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+    (
+        spark.readStream.schema("k STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )
-    est = sketch.cms_estimate(sk, ex.select("k"), "k", _CMS_D, _CMS_W)
-    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    bound = F.ceil(F.lit(2.718281828459045) * F.col("n_total") / float(_CMS_W))
-    return (
-        ex.join(est, "k")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("k").cast("bigint").alias("user_id"),
-            "exact_n",
-            "cms_est",
-            (F.col("cms_est") <= F.col("exact_n") + bound).alias("within_eps"),
-        )
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
     )
+    return _cms_heavy_hitters(ev, merged)
 
 
 _BLOOM_M = 1 << 17

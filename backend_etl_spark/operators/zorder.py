@@ -1,0 +1,55 @@
+"""Z-order (Morton) keys for multi-dimensional data layout.
+
+Sorting a fact table by the bit-interleaved key of two predicate
+columns clusters rows so that BOTH `WHERE user_id = ?` and
+`WHERE ts BETWEEN ...` touch few files: per-file min/max column stats
+(parquet footers / Delta data skipping) become selective on each
+dimension at once, which a lexicographic (user_id, ts) sort only gives
+the leading column. The standard layout move for 100 TB fact tables
+(public Delta/Iceberg OPTIMIZE ZORDER literature).
+
+The interleave is pure integer bit arithmetic (the classic
+magic-number bit spreading), identical in Spark and DuckDB — so the
+key itself is oracle-attestable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SPREAD_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(x: Column) -> Column:
+    """Spread the low 16 bits of ``x`` onto the even bit positions of a
+    32-bit lane (b15..b0 -> positions 30,28,...,0)."""
+    out = x.cast("bigint")
+    for shift, mask in _SPREAD_MASKS:
+        out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def morton_key(a: Column, b: Column) -> Column:
+    """32-bit Morton interleave of two 16-bit dimension values
+    (callers bucket/clamp their columns into [0, 65536) first):
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+def spread16_sql(expr: str) -> str:
+    """DuckDB twin of ``_spread16`` over an integer SQL expression."""
+    out = f"CAST({expr} AS BIGINT)"
+    for shift, mask in _SPREAD_MASKS:
+        out = f"(({out} | ({out} << {shift})) & {mask})"
+    return out
+
+
+def morton_key_sql(a_expr: str, b_expr: str) -> str:
+    """DuckDB twin of ``morton_key``."""
+    return f"({spread16_sql(a_expr)} | ({spread16_sql(b_expr)} << 1))"

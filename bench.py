@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "sketch_count_min_bounded",
     "join_bloom_runtime_filter",
     "quality_trigram_backoff",
+    "streaming_sketch_cms_merge",
+    "layout_zorder_key",
 ]
 
 

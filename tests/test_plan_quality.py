@@ -310,3 +310,46 @@ def test_global_window_gate_catches_constant_partition(spark):
         F.row_number().over(Window.partitionBy(df.id % 8).orderBy("id")),
     )
     assert not quality.global_windows(honest)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Files written in Morton-key order must have materially narrower
+    per-file ranges on BOTH dimensions than single-column-sorted
+    layouts — the min/max-stat data-skipping property the z-order entry
+    exists for (a user_dim-sorted layout leaves hour_dim unclustered,
+    and vice versa)."""
+    from backend_etl_spark.catalog import REGISTRY
+
+    df = REGISTRY["layout_zorder_key"].fn(spark, sf_dir)
+
+    def layout(sort_col: str):
+        path = str(tmp_path / f"layout_{sort_col}")
+        (
+            df.repartitionByRange(8, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return spark.read.parquet(path).groupBy(F.input_file_name().alias("f"))
+
+    def avg_hour_width(sort_col: str) -> float:
+        per_file = layout(sort_col).agg(
+            (F.max("hour_dim") - F.min("hour_dim")).alias("w")
+        )
+        return per_file.agg(F.avg("w")).collect()[0][0]
+
+    def avg_users_per_file(sort_col: str) -> float:
+        # ids are point-predicate columns (hashed into their lane), so
+        # the skipping metric is distinct values per file, not range
+        per_file = layout(sort_col).agg(
+            F.count_distinct("user_dim").alias("w")
+        )
+        return per_file.agg(F.avg("w")).collect()[0][0]
+
+    z_user = avg_users_per_file("zkey")
+    z_hour = avg_hour_width("zkey")
+    # single-column layouts: the OTHER dim stays unclustered
+    hour_sorted_user = avg_users_per_file("hour_dim")
+    user_sorted_hour = avg_hour_width("user_dim")
+    assert z_user < 0.8 * hour_sorted_user, (z_user, hour_sorted_user)
+    assert z_hour < 0.8 * user_sorted_hour, (z_hour, user_sorted_hour)

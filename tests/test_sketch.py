@@ -119,6 +119,59 @@ class TestBloom:
         assert kept < total * 0.5, (kept, total)
 
 
+class TestStreamingCmsMerge:
+    def test_replay_is_noop_and_merge_equals_batch(self, spark, sf_dir):
+        """Re-draining the same checkpoint must not double-count any
+        counter cell, and the merged partial sketches must equal the
+        one-shot batch sketch cell-for-cell (counts are additive)."""
+        import tempfile
+
+        from backend_etl_spark.catalog.sketchq import _CMS_D, _CMS_W
+        from backend_etl_spark.sources.loader import load_table
+
+        base = tempfile.mkdtemp(prefix="cms-replay-")
+        src, sink, ckpt = f"{base}/src", f"{base}/cells", f"{base}/ckpt"
+        ev = load_table(spark, sf_dir, "events")
+        keys = ev.select(F.col("user_id").cast("string").alias("k"))
+        keys.repartition(3).write.parquet(src)
+
+        def drain():
+            def _partial(batch, batch_id):
+                sketch.cms_build(batch, F.col("k"), _CMS_D, _CMS_W).write.mode(
+                    "overwrite"
+                ).parquet(f"{sink}/batch={batch_id}")
+
+            (
+                spark.readStream.schema("k STRING")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(_partial)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        def merged():
+            return {
+                (r["r"], r["c"]): r["cnt"]
+                for r in spark.read.parquet(sink)
+                .groupBy("r", "c")
+                .agg(F.sum("cnt").alias("cnt"))
+                .collect()
+            }
+
+        drain()
+        first = merged()
+        drain()  # same checkpoint, no new files: must be a no-op
+        assert merged() == first
+        batch_sketch = {
+            (r["r"], r["c"]): r["cnt"]
+            for r in sketch.cms_build(keys, F.col("k"), _CMS_D, _CMS_W).collect()
+        }
+        assert first == batch_sketch
+
+
 class TestTrigramBackoff:
     def test_scores_and_heldout_docs(self, spark, sf_dir):
         rows = REGISTRY["quality_trigram_backoff"].fn(spark, sf_dir).collect()
