@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "quality_trigram_backoff",
     "streaming_sketch_cms_merge",
     "layout_zorder_key",
+    "curation_weighted_sample",
 ]
 
 
