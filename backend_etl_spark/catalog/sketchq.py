@@ -190,15 +190,13 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
     )
     build = orders.select("o_orderkey").distinct()
-    bits = sketch.bloom_build(
-        build, F.col("o_orderkey").cast("string"), _BLOOM_M, _BLOOM_K
-    )
+    bits = sketch.bloom_build(build, F.col("o_orderkey"), _BLOOM_M, _BLOOM_K)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
     )
     pruned = li.crossJoin(F.broadcast(bits)).where(
         sketch.bloom_might_contain(
-            F.col("bits"), F.col("l_orderkey").cast("string"), _BLOOM_M, _BLOOM_K
+            F.col("bits"), F.col("l_orderkey"), _BLOOM_M, _BLOOM_K
         )
     )
     return (

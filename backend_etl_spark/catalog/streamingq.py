@@ -172,3 +172,30 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs.where(F.col("doc_id") % 10 < 8), src, sink, ckpt
     )
     return spark.read.parquet(sink)
+
+
+@register(
+    "streaming_topk_trending",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, event_type) AS rank
+          FROM counts)
+    WHERE rank <= 3
+    """,
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Trending now' leaderboard as a stream: watermarked hourly counts
+    per event_type, top-3 per window ranked inside foreachBatch over the
+    complete-mode aggregate (rank touches only the windowed counts,
+    never raw events). Drained sink must hash-match the batch
+    count+row_number twin."""
+    tune(spark)
+    src, sink, ckpt = _dirs("topk")
+    windowed.stage_events_source(spark, sf_dir, src)
+    windowed.run_topk_trending(spark, src, sink, ckpt)
+    return spark.read.parquet(sink)

@@ -15,9 +15,12 @@ multi-executor cluster wants anyway:
   two O(1) JVM-side bit operations per hash — the hand-rolled version
   of Spark's runtime row-level bloom pruning, usable from PySpark.
 
-The md5-hash family (seeded ``'<tag><i>#' || key``) matches the
-engine-portable idiom used across operators/dedup.py, so DuckDB oracles
-can replay the *identical* sketch bit-for-bit.
+The CMS uses the md5-hash family (seeded ``'<tag><i>#' || key``, the
+engine-portable idiom from operators/dedup.py) so DuckDB oracles can
+replay the *identical* sketch bit-for-bit. The bloom uses JVM-side
+xxhash64 instead: it is semantically transparent (no false negatives,
+the join removes false positives), so nothing ever replays its bits
+and the probe hot path shouldn't pay md5 materialization.
 
 Reference parity: the reference has no sketches at all (its dedup is
 ``ON CONFLICT DO NOTHING``, utils/db_helpers.py:92-301); these are the
@@ -121,6 +124,15 @@ def cms_estimate(
 # ---------------------------------------------------------------------------
 
 
+def _bloom_hash(i: int, key: F.Column, m_bits: int) -> F.Column:
+    """Bloom position i: xxhash64 (JVM-side, whole-stage codegen — no
+    md5 materialization cost on the probe hot path). Unlike the CMS,
+    the bloom never needs an engine-portable hash: it is semantically
+    transparent (no false negatives + the join removes false
+    positives), so no oracle ever replays its bits."""
+    return F.pmod(F.xxhash64(F.lit(f"bloom{i}"), key), F.lit(m_bits))
+
+
 def bloom_build(df: DataFrame, key: F.Column, m_bits: int, k: int) -> DataFrame:
     """1-row DataFrame with a dense ``bits: array<bigint>`` bitmask of
     length m_bits/64.
@@ -134,7 +146,7 @@ def bloom_build(df: DataFrame, key: F.Column, m_bits: int, k: int) -> DataFrame:
     n_words = m_bits // _WORD_BITS
     pos = df.select(
         F.explode(
-            F.array(*[_portable_hash("bloom", i, key, m_bits) for i in range(k)])
+            F.array(*[_bloom_hash(i, key, m_bits) for i in range(k)])
         ).alias("p")
     )
     words = pos.select(
@@ -165,7 +177,7 @@ def bloom_might_contain(
     (false positives are removed by the join itself)."""
     checks = []
     for i in range(k):
-        p = _portable_hash("bloom", i, key, m_bits)
+        p = _bloom_hash(i, key, m_bits)
         word = F.get(bits, (p / _WORD_BITS).cast("int"))
         bit = _shl(F.lit(1).cast("bigint"), p % _WORD_BITS)
         checks.append(word.bitwiseAND(bit) != 0)

@@ -124,3 +124,50 @@ def run_dedup_within_watermark(
         .start()
         .awaitTermination()
     )
+
+
+def run_topk_trending(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+    k: int = 3,
+) -> None:
+    """Live 'trending now' table: per tumbling window, the top-k event
+    types by count. The rank runs INSIDE foreachBatch over the
+    complete-mode aggregate — each micro-batch refreshes the whole
+    serving table (the standard leaderboard pattern: streaming state
+    holds only the windowed counts; the k-row-per-window rank is cheap
+    on the aggregate, never on raw events), so the final drain equals
+    the batch twin exactly."""
+    agg = (
+        read_events_stream(spark, source_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+    def _rank_overwrite(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        rk = Window.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col("event_type")
+        )
+        (
+            batch.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(sink_path)
+        )
+
+    (
+        agg.writeStream.foreachBatch(_rank_overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "streaming_sketch_cms_merge",
     "layout_zorder_key",
     "curation_weighted_sample",
+    "streaming_topk_trending",
 ]
 
 
