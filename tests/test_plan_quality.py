@@ -353,3 +353,31 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
     user_sorted_hour = avg_hour_width("user_dim")
     assert z_user < 0.8 * hour_sorted_user, (z_user, hour_sorted_user)
     assert z_hour < 0.8 * user_sorted_hour, (z_hour, user_sorted_hour)
+
+
+def test_morton_sql_twin_matches_reference_interleave():
+    """Independent ground truth for the bit-twiddling: the DuckDB twin of
+    morton_key must equal a naive per-bit interleave for every 8-bit
+    (a, b) pair (the Spark side is separately hash-attested against the
+    same twin, closing the triangle)."""
+    import duckdb
+
+    from backend_etl_spark.operators.zorder import morton_key_sql
+
+    def naive(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = duckdb.sql(
+        f"""
+        SELECT a.range AS a, b.range AS b,
+               {morton_key_sql('a.range', 'b.range')} AS z
+        FROM range(256) a, range(256) b
+        """
+    ).fetchall()
+    assert len(rows) == 256 * 256
+    for a, b, z in rows:
+        assert z == naive(a, b), (a, b, z)
