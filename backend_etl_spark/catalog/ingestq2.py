@@ -89,7 +89,7 @@ _ORACLE_BASE = """
                      WHEN eid % 33 <> 0 THEN eid % 13 + 1
                      ELSE 0 END AS INT) AS comment_count,
            TIMESTAMP '{_FETCHED}' AS fetched_at,
-           CASE WHEN eid % 2 = 0 THEN ['img' || eid] END AS image,
+           CASE WHEN eid % 2 = 0 THEN 'img' || eid END AS image,
            CASE WHEN eid % 8 = 0 THEN 'v' || eid ELSE 'w' || eid END
              AS videourl
     FROM p

@@ -1928,7 +1928,8 @@ _FUNNEL_ORACLE = f"""
            (SELECT count(*) FROM spl WHERE bucket >= 80 AND bucket < 90)
                                                       AS n_val,
            (SELECT count(*) FROM spl WHERE bucket >= 90) AS n_test,
-           (SELECT coalesce(sum(ntok), 0) FROM fin)   AS total_tokens
+           CAST((SELECT coalesce(sum(ntok), 0) FROM fin) AS BIGINT)
+                                                      AS total_tokens
 """
 
 from backend_etl_spark.catalog.registry import REGISTRY as _REG2  # noqa: E402

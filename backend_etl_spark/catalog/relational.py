@@ -1262,25 +1262,21 @@ def bucketed_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain shuffling entry exactly. At 100 TB this converts every
     per-user stage downstream of the nightly ingest write into a
     shuffle-free local sort."""
-    import os
-    import tempfile
-
-    from backend_etl_spark.sources.loader import write_bucketed
+    from backend_etl_spark.sources.loader import staging_dir, write_bucketed
 
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    # fixed per-table location (write_bucketed rmtree's it first): every
-    # invocation reuses ONE directory instead of leaking a fresh
-    # mkdtemp copy of the table per bench/test run
+    # per-process staging (loader.staging_dir): reused within a process
+    # so runs don't leak a table copy each, but keyed by mkdtemp so two
+    # concurrent sessions (pytest sf0.01 vs bench sf0.1) never clobber
+    # each other's registered location
     write_bucketed(
         ev,
         "events_by_user",
         "user_id",
         n_buckets=8,
         sort=False,
-        path=os.path.join(
-            tempfile.gettempdir(), "spark-graft-layout", "events_by_user"
-        ),
+        path=staging_dir("layout", "events_by_user"),
     )
     return sessionize_frame(spark.table("events_by_user"))
 
@@ -1309,10 +1305,7 @@ def partitioned_ship_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     opened, tests assert it reaches the scan), and the aggregate runs on
     the 1/7th slice. The partition column is derived at write time
     (year(l_shipdate)) — the standard time-partitioned fact layout."""
-    import os
-    import tempfile
-
-    from backend_etl_spark.sources.loader import write_partitioned
+    from backend_etl_spark.sources.loader import staging_dir, write_partitioned
 
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1321,14 +1314,12 @@ def partitioned_ship_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_discount",
         F.year("l_shipdate").alias("ship_year"),
     )
-    # fixed per-table location — see bucketed_sessionize_events
+    # per-process staging — see bucketed_sessionize_events
     write_partitioned(
         li,
         "lineitem_by_shipyear",
         "ship_year",
-        path=os.path.join(
-            tempfile.gettempdir(), "spark-graft-layout", "lineitem_by_shipyear"
-        ),
+        path=staging_dir("layout", "lineitem_by_shipyear"),
     )
     return (
         spark.table("lineitem_by_shipyear")

@@ -125,10 +125,13 @@ def streaming_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a 100 TB/day feed keeps a live heavy-hitter table: tiny partial
     sketches ride each micro-batch, the serving side folds them.
     """
-    import tempfile
+    from backend_etl_spark.sources.loader import scratch_dir
 
     tune(spark)
-    base = tempfile.mkdtemp(prefix="spark-graft-cms-stream-")
+    # fresh per-invocation dir (a reused checkpoint would skip re-written
+    # source files), but under the per-process staging root so bench/test
+    # loops don't leak a directory per run (reclaimed at process exit)
+    base = scratch_dir("cms-stream")
     src, sink, ckpt = f"{base}/src", f"{base}/cells", f"{base}/ckpt"
     ev = load_table(spark, sf_dir, "events")
     ev.select(F.col("user_id").cast("string").alias("k")).repartition(4).write.mode(

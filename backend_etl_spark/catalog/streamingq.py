@@ -9,7 +9,6 @@ custom stateful sessionizer all must equal their relational batch twins.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,7 +19,11 @@ from backend_etl_spark.streaming import joins, stateful, windowed
 
 
 def _dirs(tag: str) -> tuple[str, str, str]:
-    base = tempfile.mkdtemp(prefix=f"spark-graft-{tag}-")
+    # fresh per-invocation (checkpoint state must not be shared), but
+    # under the per-process staging root so runs don't leak dirs
+    from backend_etl_spark.sources.loader import scratch_dir
+
+    base = scratch_dir(tag)
     return f"{base}/src", f"{base}/sink", f"{base}/ckpt"
 
 

@@ -192,6 +192,16 @@ def project_instagram(
         .select("__company_name", "__fetched_at", "p.*")
     )
     created = F.try_to_timestamp(F.coalesce(F.col("publishedAt"), F.col("timestamp")))
+    # the mentions table stores `image` as flat TEXT (utils/db_helpers.py:
+    # 113-122; instagram_scraper.py:109,123 stuffs it.get("images") in as-is)
+    # — when the payload carries the real Apify ARRAY shape, scalarize to
+    # the first URL so the sink schema (schemas.py:27) always holds
+    images_t = dict(p.dtypes).get("images", "string")
+    image = (
+        F.try_element_at("images", F.lit(1))
+        if images_t.startswith("array")
+        else F.col("images")
+    )
     return (
         p.select(
             F.coalesce(F.col("id"), F.col("shortCode")).alias("post_id"),
@@ -204,7 +214,7 @@ def project_instagram(
                 "comment_count"
             ),
             F.col("__fetched_at").alias("fetched_at"),
-            F.col("images").alias("image"),
+            image.alias("image"),
             F.coalesce(F.col("videoUrl"), F.col("video_url")).alias("videourl"),
         )
         .where(F.col("post_id").isNotNull() & F.col("created_at").isNotNull())

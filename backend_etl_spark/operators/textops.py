@@ -244,15 +244,25 @@ def passage_hashes(
     no layout structure. One output row per (doc, passage_idx); docs
     shorter than ``size`` tokens produce none."""
     toks = tokens(F.col(text_col))
-    # overlapping size-grams via the zip_with builder (array children
-    # evaluate once per row — no per-passage re-tokenization), keep
-    # every size-th = the non-overlapping passages
-    grams = word_ngrams(toks, size)
-    # word_ngrams emits positions 0..n-size, so keeping indices
-    # divisible by `size` yields exactly floor(n/size) passages —
-    # identical to the old slice-per-index enumeration
-    kept = F.filter(grams, lambda x, i: i % size == 0)
-    passages = F.transform(kept, F.md5)
+    # stride-filter BEFORE concatenation: each shifted slice is cut down
+    # to every size-th position first, so the zip_with concat chain only
+    # ever builds the floor(n/size) surviving passages — O(n) concat work
+    # and n/size-length intermediates regardless of passage size (the
+    # overlapping-grams-then-keep form did ~size× the concat work).
+    # zip_with/filter array children evaluate once per row, so the regex
+    # tokenization is never re-run per position (see word_ngrams).
+    sz = F.size(toks)
+    width = sz - (size - 1)  # overlapping position count; >=1 iff sz>=size
+    parts = [
+        F.filter(F.slice(toks, 1 + j, width), lambda x, i: i % size == 0)
+        for j in range(size)
+    ]
+    strided = parts[0]
+    for part in parts[1:]:
+        strided = F.zip_with(strided, part, lambda a, b: F.concat_ws(" ", a, b))
+    passages = F.when(sz >= size, F.transform(strided, F.md5)).otherwise(
+        F.array().cast("array<string>")
+    )
     return df.select(
         F.col(id_col), F.posexplode(passages).alias("passage_idx", "ph")
     )

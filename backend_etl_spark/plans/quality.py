@@ -82,10 +82,18 @@ def global_windows(df: DataFrame) -> list[str]:
             elif ch == ")":
                 d -= 1
         first = first.strip()
+        # "no attribute reference (#) in the partition expression" is a
+        # heuristic: spark_partition_id()/rand(seed) DO distribute yet
+        # render without '#', so whitelist them; a fully constant-folded
+        # literal partition key would still (correctly) be flagged —
+        # known limitation, acceptable for a lint that gates the catalog
+        distributes_without_attr = re.match(
+            r"(spark_partition_id|rand|randn)\(", first
+        )
         if (
             first.startswith("specifiedwindowframe")
             or re.search(r"\b(ASC|DESC)\b", first)
-            or "#" not in first
+            or ("#" not in first and not distributes_without_attr)
         ):
             offenders.append(spec)
     return offenders

@@ -59,6 +59,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_STAGING_ROOT: str | None = None
+
+
+def staging_dir(*sub: str) -> str:
+    """Per-process scratch root for layout-at-rest and streaming catalog
+    entries. One ``mkdtemp`` per process — collision-free across
+    concurrent sessions (pytest at sf0.01 vs bench at sf0.1, parallel
+    test workers, other users on a shared /tmp) — cached in a module
+    global so repeated invocations within a process REUSE the same
+    location instead of leaking a fresh table copy per run, and removed
+    at interpreter exit. Returns ``<root>/<sub...>`` (not created)."""
+    global _STAGING_ROOT
+    if _STAGING_ROOT is None:
+        import atexit
+        import tempfile
+
+        _STAGING_ROOT = tempfile.mkdtemp(prefix="spark-graft-stage-")
+        atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
+    return os.path.join(_STAGING_ROOT, *sub)
+
+
+def scratch_dir(tag: str) -> str:
+    """A FRESH per-invocation scratch directory under the per-process
+    staging root — for streaming entries whose checkpoint/source-listing
+    state must not be shared across invocations (a reused checkpoint
+    would mark re-written source files processed, or double-count
+    re-delivered partials). Unlike a bare mkdtemp, everything under the
+    root is reclaimed at process exit, so bench/test loops don't leak a
+    directory per run."""
+    import tempfile
+
+    root = staging_dir("streams")
+    os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{tag}-", dir=root)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register temp views so catalog queries can use ``spark.sql``."""
     for name in names or TABLES:
