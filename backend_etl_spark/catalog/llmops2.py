@@ -1776,30 +1776,11 @@ def agg_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "corpus_pipeline_funnel",
-    oracle=None,  # assembled below (composes the attested stage oracles)
-)
-def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE training-data pipeline, end to end, as one relation: raw docs
-    → quality gates (char entropy ≥ 3.9 AND Gopher repetition keep AND
-    bigram-LM avg log2p ≥ −4.95) → exact dedup (canonical = min doc_id
-    per normalized-content key) → MinHash/LSH near-dedup (drop docs
-    band-matching a lower-id survivor on ≥2 of 4 bands) → benchmark
-    decontamination (eval set = doc_id < 10; shared-4-gram docs AND the
-    eval docs themselves leave) → leakage-safe 80/10/10 split — emitted
-    as ONE funnel row of per-stage counts plus the surviving token
-    budget. Every stage is an already-attested catalog operator; this
-    entry proves the COMPOSITION (what a data team actually ships)
-    against a DuckDB oracle that replays the identical chain.
-
-    Scale shape: each stage is the attested stage's plan (map-only
-    gates; banded equi-join, never all-pairs; broadcast benchmark set) —
-    composition adds no new shuffle class. The funnel here recomputes
-    lineage per stage count for oracle exactness; a production run
-    persists each stage's survivor set and the counts ride those writes
-    as Observations (sink.write_idempotent discipline)."""
-    tune(spark)
+def _funnel_stages(spark: SparkSession, sf_dir: str):
+    """The funnel's stage relations — (docs, q, ex, nd, fin, spl) — shared
+    by the oracle-exact count entry (corpus_pipeline_funnel) and the
+    production variant that persists each stage and lets the counts ride
+    the writes as Observations (corpus_funnel_observed)."""
     from backend_etl_spark.functions.scalars import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1857,6 +1838,93 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     spl = curation.leakage_safe_split(fin, "doc_id", dedup.content_key(F.col("text")))
+    return docs, q, ex, nd, fin, spl
+
+
+def corpus_funnel_observed(
+    spark: SparkSession, sf_dir: str, root: str
+) -> dict[str, int]:
+    """The PRODUCTION funnel run: each stage's survivor set is PERSISTED
+    through the idempotent natural-key sink (W5 discipline) and every
+    funnel count rides its stage's write action as an Observation —
+    zero extra jobs, zero lineage recompute (the oracle-exactness tax
+    corpus_pipeline_funnel pays is gone; the docstring's promised
+    alternative, proven by tests/test_llmops2.py comparing both count
+    vectors). Re-running against the same ``root`` appends nothing and
+    returns all-zero stage counts — effectively-once under redelivery."""
+    import os
+
+    from pyspark.sql import Observation
+
+    from backend_etl_spark import sink
+
+    tune(spark)
+    docs, q, ex, nd, fin, spl = _funnel_stages(spark, sf_dir)
+    out: dict[str, int] = {}
+    out["n_raw"] = docs.count()
+    out["n_after_quality"] = sink.write_idempotent(
+        q, os.path.join(root, "quality"), ["doc_id"]
+    )
+    out["n_after_exact_dedup"] = sink.write_idempotent(
+        ex, os.path.join(root, "exact"), ["doc_id"]
+    )
+    out["n_after_near_dedup"] = sink.write_idempotent(
+        nd, os.path.join(root, "neardup"), ["doc_id"]
+    )
+    # token budget rides the SAME write as the decontam count: observe
+    # below the sink's dedup (fin is unique on doc_id already)
+    tok = Observation()
+    fin_obs = fin.observe(
+        tok, F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("total_tokens")
+    )
+    out["n_after_decontam"] = sink.write_idempotent(
+        fin_obs, os.path.join(root, "final"), ["doc_id"]
+    )
+    out["total_tokens"] = int(tok.get["total_tokens"]) if out["n_after_decontam"] else 0
+    # one partitioned write carries all three split counts
+    splits = Observation()
+    spl_obs = spl.observe(
+        splits,
+        *[
+            F.sum(F.when(F.col("split") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ],
+    )
+    appended = sink.write_idempotent(
+        spl_obs, os.path.join(root, "split"), ["doc_id"], partition_cols=["split"]
+    )
+    for s in ("train", "val", "test"):
+        out[f"n_{s}"] = int(splits.get[f"n_{s}"]) if appended else 0
+    return out
+
+
+@register(
+    "corpus_pipeline_funnel",
+    oracle=None,  # assembled below (composes the attested stage oracles)
+)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training-data pipeline, end to end, as one relation: raw docs
+    → quality gates (char entropy ≥ 3.9 AND Gopher repetition keep AND
+    bigram-LM avg log2p ≥ −4.95) → exact dedup (canonical = min doc_id
+    per normalized-content key) → MinHash/LSH near-dedup (drop docs
+    band-matching a lower-id survivor on ≥2 of 4 bands) → benchmark
+    decontamination (eval set = doc_id < 10; shared-4-gram docs AND the
+    eval docs themselves leave) → leakage-safe 80/10/10 split — emitted
+    as ONE funnel row of per-stage counts plus the surviving token
+    budget. Every stage is an already-attested catalog operator; this
+    entry proves the COMPOSITION (what a data team actually ships)
+    against a DuckDB oracle that replays the identical chain.
+
+    Scale shape: each stage is the attested stage's plan (map-only
+    gates; banded equi-join, never all-pairs; broadcast benchmark set) —
+    composition adds no new shuffle class. The funnel here recomputes
+    lineage per stage count for oracle exactness; a production run
+    persists each stage's survivor set and the counts ride those writes
+    as Observations (sink.write_idempotent discipline)."""
+    tune(spark)
+    docs, q, ex, nd, fin, spl = _funnel_stages(spark, sf_dir)
 
     def one(df, name):
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
@@ -2567,3 +2635,117 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 4).alias("avg_log2s"),
         F.round(F.pow(F.lit(2.0), -mean), 4).alias("pseudo_perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ: train-once / search-many (r4 verdict item 5) — the
+# FAISS production discipline as layout at rest (operators/ann_index.py)
+# ---------------------------------------------------------------------------
+
+
+def _persisted_ivfpq(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse — cached per process) the persisted IVF-PQ index
+    for this sf_dir's embeddings table."""
+    import os
+
+    from backend_etl_spark.operators import ann_index
+    from backend_etl_spark.sources.loader import staging_dir
+
+    path = staging_dir(
+        "ivfpq", os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_index.build_ivfpq_index(
+        emb, path, _KM_K, _KM_ITERS, _PQ_K, _PQ_ITERS, _PQ_DIM
+    )
+
+
+@register(
+    "knn_ivfpq_build_persisted",
+    oracle=f"""
+    WITH {_kmeans_cte()},
+    {_pq_cte("s0_", 1, _PQ_HALF)},
+    {_pq_cte("s1_", _PQ_HALF + 1, _PQ_DIM)},
+    codes AS (
+      SELECT a.vec_id, a.cluster AS code0, b.cluster AS code1
+      FROM s0_a{_PQ_ITERS - 1} a JOIN s1_a{_PQ_ITERS - 1} b USING (vec_id))
+    SELECT CAST(cr.cluster AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(x.code0) AS BIGINT) AS sum_code0,
+           CAST(sum(x.code1) AS BIGINT) AS sum_code1
+    FROM {_KM_FINAL} cr JOIN codes x USING (vec_id)
+    GROUP BY cr.cluster
+    """,
+)
+def knn_ivfpq_build_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index BUILD, persisted: 3 k-means fits (coarse + 2 PQ
+    subspaces), every vector encoded to (cluster, code0, code1), written
+    as hive-partitioned inverted lists + a centroid table
+    (operators/ann_index.py). Returns the per-list summary so the whole
+    encoded index is value-attested against the oracle's recomputation.
+    The build runs ONCE per process — bench shows search ≪ build because
+    knn_ivfpq_search_persisted reuses this entry's artifacts."""
+    tune(spark)
+    from backend_etl_spark.operators import ann_index
+
+    path = _persisted_ivfpq(spark, sf_dir)
+    return (
+        ann_index.load_lists(spark, path)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("code0").cast("bigint").alias("sum_code0"),
+            F.sum("code1").cast("bigint").alias("sum_code1"),
+        )
+    )
+
+
+@register("knn_ivfpq_search_persisted", oracle=None)  # shares knn_ivfpq_adc's
+def knn_ivfpq_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ SEARCH over the persisted index — no k-means fit anywhere
+    on this path: the coarse centroids + PQ codebooks are a tiny parquet
+    read (driver-side, k×dim doubles), queries multi-probe their 2
+    nearest lists, and the candidate scan is an equi-join against the
+    cluster-PARTITIONED lists — so Spark's dynamic partition pruning
+    skips unprobed list directories at the scan (plan-asserted). ADC
+    scoring is two map lookups + an add per candidate. Results are
+    bit-identical to knn_ivfpq_adc (doubles round-trip parquet exactly),
+    so this entry shares its oracle — proving the train-once/search-many
+    split loses nothing."""
+    tune(spark)
+    from backend_etl_spark.operators import ann_index
+    from backend_etl_spark.operators.clustering import _as_double, _dist2
+
+    path = _persisted_ivfpq(spark, sf_dir)
+    cents = ann_index.load_centroids(spark, path)
+    lists = ann_index.load_lists(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = {
+        0: F.slice("embedding", 1, _PQ_HALF),
+        1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
+    }
+    codebooks = {0: cents["pq0"], 1: cents["pq1"]}
+    adt = _adc_maps(codebooks, lambda s, cw: _dist2(_as_double(halves[s]), cw))
+    queries = clustering.probe_clusters(
+        emb.where(F.col("vec_id") < 5), cents["coarse"], nprobe=2
+    ).select(F.col("vec_id").alias("q_id"), F.explode("probes").alias("pc"), *adt)
+    cand = (
+        lists.withColumnRenamed("vec_id", "neighbor_id")
+        .join(
+            F.broadcast(queries),
+            (F.col("cluster") == F.col("pc"))
+            & (F.col("neighbor_id") != F.col("q_id")),
+        )
+        .select("q_id", "neighbor_id", _adc_approx().alias("approx_dist2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("approx_dist2"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", "approx_dist2", "rank")
+    )
+
+
+_REG2["knn_ivfpq_search_persisted"].oracle = _REG2["knn_ivfpq_adc"].oracle

@@ -311,3 +311,24 @@ def test_probe_clusters_first_probe_is_assignment(spark, sf_dir):
     for vid, probes in probed.items():
         assert probes[0] == assigned[vid]
         assert len(probes) == 2 and probes[0] != probes[1]
+
+
+def test_funnel_counts_ride_stage_writes(spark, sf_dir, tmp_path):
+    """The funnel docstring's production promise, proven: persisting each
+    stage through the idempotent sink and reading the counts off the
+    write-riding Observations yields EXACTLY the attested funnel row —
+    no lineage recompute; and a replay against the same sinks appends
+    nothing (effectively-once)."""
+    from backend_etl_spark.catalog.llmops2 import corpus_funnel_observed
+    from backend_etl_spark.catalog import REGISTRY
+
+    row = REGISTRY["corpus_pipeline_funnel"].fn(spark, sf_dir).collect()[0].asDict()
+    root = str(tmp_path / "funnel")
+    observed = corpus_funnel_observed(spark, sf_dir, root)
+    assert observed == {k: row[k] for k in observed}
+
+    replay = corpus_funnel_observed(spark, sf_dir, root)
+    assert replay["n_raw"] == row["n_raw"]  # raw scan is not a write
+    for k, v in replay.items():
+        if k != "n_raw":
+            assert v == 0, f"replay appended through {k}"

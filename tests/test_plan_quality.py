@@ -381,3 +381,28 @@ def test_morton_sql_twin_matches_reference_interleave():
     assert len(rows) == 256 * 256
     for a, b, z in rows:
         assert z == naive(a, b), (a, b, z)
+
+
+def test_persisted_ivfpq_search_dynamic_prunes_lists(spark, sf_dir):
+    """The persisted IVF-PQ search must (a) probe the inverted lists via
+    dynamic partition pruning — unprobed coarse-cell directories never
+    open — and (b) contain no k-means fit: the only scans are the lists,
+    the centroid table (driver-side), and the 5 query vectors."""
+    df = REGISTRY["knn_ivfpq_search_persisted"].fn(spark, sf_dir)
+    plan = quality.plan_text(df, "simple")
+    assert "dynamicpruningexpression" in plan.lower(), (
+        "lists scan is not dynamic-partition-pruned"
+    )
+    # the index build scans embeddings many times (3 fits x iters); the
+    # search path must touch the full embeddings table zero times — its
+    # only embeddings scans carry the vec_id<5 query pushdown
+    emb_scans = [
+        line
+        for line in plan.splitlines()
+        if "embeddings.parquet" in line and "FileScan" in line
+    ]
+    assert emb_scans, "expected query-vector scans of embeddings"
+    for line in emb_scans:
+        assert "LessThan(vec_id,5)" in line, (
+            "full embeddings scan on the search path — the fit leaked in"
+        )
