@@ -392,6 +392,51 @@ def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join_hot_user",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 4 != 0 THEN 1 ELSE user_id END AS hot_user,
+             value
+      FROM events),
+    dim AS (SELECT c_custkey AS hot_user, c_mktsegment FROM customer)
+    SELECT d.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2)   AS sum_value
+    FROM ev e JOIN dim d USING (hot_user)
+    GROUP BY d.c_mktsegment
+    """,
+)
+def skew_salted_join_hot_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key JOIN mitigation (the #1 shuffle-incident class at
+    100 TB): 3/4 of all events are remapped onto ONE user — the viral-
+    post shape — and the fact-to-dim join runs through
+    skew.salted_shuffle_join, so the shuffle key is (hot_user, _salt)
+    and the hot key spreads over 16 partitions by construction instead
+    of pinning one task (the dim is treated as too big to broadcast —
+    the case AQE's broadcast fallback can't save). Plan-gated:
+    tests/test_plan_quality.py asserts the exchange partitions on the
+    salt and no broadcast of the dim sneaks in. Must equal the plain
+    join exactly — the salt never changes the answer."""
+    tune(spark)
+    from backend_etl_spark.operators.skew import salted_shuffle_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 4 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("hot_user"),
+        "value",
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("hot_user"), "c_mktsegment"
+    )
+    joined = salted_shuffle_join(ev, dim, ["hot_user"])
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "rollup_multigrain_events",
     oracle="""
     SELECT grain, grain_start, event_type,

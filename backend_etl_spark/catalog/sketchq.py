@@ -160,6 +160,118 @@ def streaming_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cms_heavy_hitters(ev, merged)
 
 
+_CMS_TOPK_ORACLE = f"""
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    tot AS (SELECT count(*) AS n_total FROM events),
+    h AS (SELECT k, t.r,
+                 ('0x' || substr(md5('cms' || t.r || '#' || k), 1, 8))::BIGINT
+                   % {_CMS_W} AS c
+          FROM k, range({_CMS_D}) t(r)),
+    sk AS (SELECT r, c, count(*) AS cnt FROM h GROUP BY r, c),
+    cand AS (SELECT DISTINCT k FROM k),
+    probes AS (SELECT cand.k, t.r,
+                      ('0x' || substr(md5('cms' || t.r || '#' || cand.k),
+                                      1, 8))::BIGINT % {_CMS_W} AS c
+               FROM cand, range({_CMS_D}) t(r)),
+    est AS (SELECT p.k, min(coalesce(sk.cnt, 0)) AS cms_est
+            FROM probes p
+            LEFT JOIN sk ON sk.r = p.r AND sk.c = p.c
+            GROUP BY p.k),
+    top AS (SELECT k, cms_est FROM est
+            ORDER BY cms_est DESC, CAST(k AS BIGINT) LIMIT 10),
+    ex AS (SELECT k, count(*) AS exact_n FROM k GROUP BY k)
+    SELECT CAST(top.k AS BIGINT) AS user_id,
+           CAST(ex.exact_n AS BIGINT) AS exact_n,
+           CAST(top.cms_est AS BIGINT) AS cms_est,
+           top.cms_est <= ex.exact_n
+             + CAST(ceil(2.718281828459045 * tot.n_total / {_CMS_W}.0) AS BIGINT)
+             AS within_eps
+    FROM top JOIN ex ON ex.k = top.k CROSS JOIN tot
+"""
+
+
+@register("streaming_sketch_topk_fused", oracle=_CMS_TOPK_ORACLE)
+def streaming_sketch_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed leaderboard END TO END (r4 verdict item 9): unlike
+    streaming_sketch_cms_merge — whose top-k candidates come from the
+    exact counts — here each micro-batch writes BOTH its partial CMS
+    cells AND its distinct-key dictionary inside foreachBatch, and the
+    leaderboard is the top-10 candidates ranked BY THEIR CMS ESTIMATE
+    from the merged sketch. The exact counts appear only as the
+    attestation companion (exact_n + the Cormode-Muthukrishnan
+    est ≤ exact + ⌈(e/w)·N⌉ bound per key) — ranking never touches them.
+
+    Both per-batch artifacts are batch_id-keyed overwrites (checkpoint
+    replay rewrites, never double-counts) and both are batch-split
+    invariant once unioned: summed cells = the one-shot sketch,
+    unioned dictionaries = the distinct key set — so the DuckDB oracle
+    replays the fused result exactly with no reference to batching.
+
+    Scale shape: per batch ≤ d·w cells + the batch's distinct keys move;
+    serving folds cells and estimates only dictionary keys — the raw
+    stream is never re-read. w=64 < |keys| forces real collisions, so
+    the estimate-ranked top-10 genuinely differs from exact ranking
+    when collisions promote a key — exactly what the bound column is
+    attesting."""
+    from backend_etl_spark.sources.loader import scratch_dir
+
+    tune(spark)
+    base = scratch_dir("cms-topk")
+    src, cells_p, cand_p, ckpt = (
+        f"{base}/src",
+        f"{base}/cells",
+        f"{base}/cand",
+        f"{base}/ckpt",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(F.col("user_id").cast("string").alias("k")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def _partial(batch: DataFrame, batch_id: int) -> None:
+        sketch.cms_build(batch, F.col("k"), _CMS_D, _CMS_W).write.mode(
+            "overwrite"
+        ).parquet(f"{cells_p}/batch={batch_id}")
+        batch.select("k").distinct().write.mode("overwrite").parquet(
+            f"{cand_p}/batch={batch_id}"
+        )
+
+    (
+        spark.readStream.schema("k STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    merged = spark.read.parquet(cells_p).groupBy("r", "c").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    cands = spark.read.parquet(cand_p).select("k").distinct()
+    top = (
+        sketch.cms_estimate(merged, cands, "k", _CMS_D, _CMS_W)
+        .orderBy(F.col("cms_est").desc(), F.col("k").cast("bigint"))
+        .limit(10)
+    )
+    ex = ev.groupBy(F.col("user_id").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    bound = F.ceil(F.lit(2.718281828459045) * F.col("n_total") / float(_CMS_W))
+    return (
+        top.join(ex, "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "exact_n",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") <= F.col("exact_n") + bound).alias("within_eps"),
+        )
+    )
+
+
 _BLOOM_M = 1 << 17
 _BLOOM_K = 3
 

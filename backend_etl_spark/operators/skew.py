@@ -79,6 +79,37 @@ def salted_broadcast_join(
     return joined.drop("_salt")
 
 
+def salted_shuffle_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof SHUFFLE equi-join — the mitigation for the case where
+    the small side is too big to broadcast (so ``salted_broadcast_join``
+    doesn't apply) and the plan is a sort-merge/shuffled-hash join whose
+    hot key would pin one task: salt the large side, replicate the small
+    side across all salt values, and shuffle on (key, salt) — each hot
+    key's rows spread over ``n_salts`` partitions by construction,
+    before AQE even looks at runtime sizes. Exactly equal to the plain
+    join (the salt is dropped after the join; replication adds no
+    matches because each large row carries exactly one salt value).
+
+    Complements AQE skew-join splitting (on by default, session.py):
+    AQE fixes skewed partitions it can SEE at runtime; explicit salting
+    is the plan-time guarantee for keys you know are pathological
+    (one viral post = 10% of the fact table)."""
+    salted_large = with_salt(large, n_salts)
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_large.join(
+        exploded_small.hint("shuffle_hash"), [*on, "_salt"], how
+    )
+    return joined.drop("_salt")
+
+
 def top_keys(df: DataFrame, key_cols: list[str], k: int = 10) -> DataFrame:
     """Hot-key diagnostic: the k heaviest keys and their row share —
     what you run before deciding to salt."""

@@ -406,3 +406,73 @@ def test_persisted_ivfpq_search_dynamic_prunes_lists(spark, sf_dir):
         assert "LessThan(vec_id,5)" in line, (
             "full embeddings scan on the search path — the fit leaked in"
         )
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The skewed-join entry must shuffle on (hot_user, _salt) — the
+    structural guarantee that the hot key occupies 16 partitions — and
+    must NOT broadcast the dim (the scenario is dim-too-big; a broadcast
+    would make the salt decorative)."""
+    import re
+
+    df = REGISTRY["skew_salted_join_hot_user"].fn(spark, sf_dir)
+    plan = quality.plan_text(df, "simple")
+    assert re.search(r"hashpartitioning\([^)]*hot_user[^)]*_salt", plan), (
+        "join exchange is not keyed by (hot_user, _salt)"
+    )
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    join_section = plan.split("HashAggregate")[-1]
+    assert "BroadcastHashJoin" not in join_section, (
+        "dim was broadcast — the salted shuffle path never engaged"
+    )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """The OTHER skew mitigation — AQE's runtime skew-join split — shown
+    engaging: a sort-merge join whose left side is one hot key, with
+    split thresholds lowered so local-mode partition sizes qualify; the
+    executed plan must mark the join's skewed side (skew=true)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        # sf0.001's hot partition is only ~6KB of shuffle bytes — the
+        # thresholds must sit below that for the detector to see it
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # skew splitting works at MAP-OUTPUT granularity: a hot reduce
+        # partition is split by regrouping its map-side chunks, so a
+        # single-file scan (1 map task) can never split — repartition(8)
+        # gives AQE the granularity a real multi-file table would have
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.when(F.col("user_id") % 4 != 0, F.lit(1))
+                .otherwise(F.col("user_id"))
+                .alias("k"),
+                "value",
+            )
+            .repartition(8)
+        )
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), "c_mktsegment"
+        )
+        joined = ev.hint("merge").join(dim, "k")
+        # collect() (not a separate write) so THIS DataFrame's adaptive
+        # plan finalizes and can be inspected
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, "AQE skew-join split did not engage"
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
