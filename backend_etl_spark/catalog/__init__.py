@@ -5,6 +5,7 @@ from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
     ingestq2,
     llmops,
     llmops2,
+    llmops3,
     nested,
     relational,
     relational2,

@@ -352,14 +352,18 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _kmeans_cte(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+def _kmeans_cte(
+    k: int = _KM_K, iters: int = _KM_ITERS, src: str = "embeddings"
+) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs: c0 seeds → (assign d/a,
     update c) × (iters-1) → final assignment a{iters-1}. Mirrors
     operators/clustering.py exactly: ordered folds, 6-dp rounding of
     distances (before argmin) and centroid averages (after update),
-    tie-break on cluster id."""
+    tie-break on cluster id. ``src`` lets the fit run over a derived
+    relation (e.g. the base slice of an incrementally-maintained index)
+    instead of the raw embeddings table."""
     sql = f"""
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
       FROM (SELECT vec_id, v FROM e

@@ -1,0 +1,378 @@
+"""Training-data-pipeline operator catalog, tier 3 (round 5): corpus
+mixture allocation (UniMax), importance resampling weights (DSIR), and
+streaming maintenance of the persisted ANN index.
+
+All public-literature recipes (Chung et al. 2023 UniMax; Xie et al.
+2023 DSIR; Jégou et al. 2011 IVF-PQ — PAPERS.md), expressed
+DataFrame-first with DuckDB-replayable oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_etl_spark.catalog.llmops import _TOKS
+from backend_etl_spark.catalog.registry import register
+from backend_etl_spark.session import tune
+from backend_etl_spark.sources.loader import load_table
+
+_UNIMAX_BUDGET_FRAC = 0.5  # sample budget = half the corpus tokens
+_UNIMAX_MAX_EPOCHS = 2.0  # no source repeats more than twice
+
+
+@register(
+    "curation_unimax_mixture",
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS ntok
+          FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k FROM t),
+    ord AS (SELECT source, ntok,
+                   row_number() OVER (ORDER BY ntok, source) AS i
+            FROM t),
+    alloc AS (
+      -- e0 literals: a bare 0.5/2.0 is a DECIMAL in DuckDB and would
+      -- run the whole recurrence in step-rounded DECIMAL arithmetic,
+      -- diverging from the engine's double-precision loop
+      SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS source,
+             CAST(NULL AS BIGINT) AS ntok, CAST(NULL AS DOUBLE) AS a,
+             (SELECT {_UNIMAX_BUDGET_FRAC}e0 * total FROM tot) AS remaining
+      UNION ALL
+      SELECT o.i, o.source, o.ntok,
+             least(al.remaining / ((SELECT k FROM tot) - al.i),
+                   {_UNIMAX_MAX_EPOCHS}e0 * o.ntok),
+             al.remaining
+               - least(al.remaining / ((SELECT k FROM tot) - al.i),
+                       {_UNIMAX_MAX_EPOCHS}e0 * o.ntok)
+      FROM alloc al JOIN ord o ON o.i = al.i + 1)
+    SELECT source, ntok,
+           round(a, 4)        AS alloc_tokens,
+           round(a / ntok, 6) AS epochs
+    FROM alloc WHERE i > 0
+    """,
+)
+def curation_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): distribute a token
+    budget (half the corpus) across sources so no source repeats more
+    than MAX_EPOCHS times — process sources by ascending size, give each
+    min(fair-share of the remaining budget, epoch cap), and roll the
+    unused allowance of capped (small) sources into the fair share of
+    the rest. The language-balanced alternative to proportional
+    sampling: big sources no longer drown small ones, small ones never
+    overfit past the epoch cap.
+
+    Scale shape: the per-source token counts are ONE distributed
+    aggregate over the corpus; the allocation recurrence itself is
+    sequential in the number of SOURCES — a dimension-sized (k ≈ dozens
+    at 100 TB) driver loop, the same discipline as the k-row centroid
+    collects (clustering.py) and the control-dim sets
+    (feed_pipeline.py). The oracle replays the recurrence as a
+    RECURSIVE CTE; both sides do the identical double-precision op
+    sequence off exact BIGINT token counts, so the rounded outputs
+    hash-match."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("ntok"))
+        .collect()
+    )
+    rows = sorted(per_source, key=lambda r: (r["ntok"], r["source"]))
+    total = sum(r["ntok"] for r in rows)
+    remaining = _UNIMAX_BUDGET_FRAC * total
+    k = len(rows)
+    out = []
+    for i, r in enumerate(rows):
+        a = min(remaining / (k - i), _UNIMAX_MAX_EPOCHS * r["ntok"])
+        remaining -= a
+        out.append((r["source"], int(r["ntok"]), a, a / r["ntok"]))
+    return spark.createDataFrame(
+        out, "source string, ntok bigint, a double, epochs double"
+    ).select(
+        "source",
+        "ntok",
+        F.round("a", 4).alias("alloc_tokens"),
+        F.round("epochs", 6).alias("epochs"),
+    )
+
+
+_DSIR_TARGET = "src0"  # the high-quality slice the sampler steers toward
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents),
+    tgt AS (SELECT w, count(*) AS ct FROM toks
+            WHERE source = '{_DSIR_TARGET}' GROUP BY w),
+    raw AS (SELECT w, count(*) AS cr FROM toks
+            WHERE source <> '{_DSIR_TARGET}' GROUP BY w),
+    tots AS (SELECT
+               (SELECT count(*) FROM toks WHERE source = '{_DSIR_TARGET}')
+                 AS tt,
+               (SELECT count(*) FROM toks WHERE source <> '{_DSIR_TARGET}')
+                 AS tr,
+               (SELECT count(DISTINCT w) FROM toks) AS v),
+    stats AS (
+      SELECT coalesce(tgt.w, raw.w) AS w,
+             CAST(round(
+               log2((coalesce(tgt.ct, 0) + 1) / CAST(tt + v AS DOUBLE))
+               - log2((coalesce(raw.cr, 0) + 1) / CAST(tr + v AS DOUBLE)),
+               6) AS DECIMAL(18, 6)) AS lr
+      FROM tgt FULL OUTER JOIN raw ON raw.w = tgt.w CROSS JOIN tots)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)          AS n_tokens,
+           CAST(sum(s.lr) AS DOUBLE)         AS dsir_log2w
+    FROM toks t JOIN stats s ON s.w = t.w
+    WHERE t.source <> '{_DSIR_TARGET}'
+    GROUP BY t.doc_id
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every raw document by how target-like
+    it is under two smoothed unigram LMs — log2 w(x) = Σ_w count_w(x) ·
+    (log2 p_target(w) − log2 p_raw(w)), Laplace smoothing over the
+    shared vocabulary. Resampling ∝ w(x) steers a generic crawl toward
+    the target domain; the weights here feed the A-Res sampler
+    (curation_weighted_sample) unchanged.
+
+    Scale shape: identical to quality_bigram_logprob — the two LMs are
+    Zipf-bounded word aggregates; the per-word log-ratio is assembled
+    stats-side; corpus tokens shuffle exactly twice (onto the word key
+    for the stats join, back onto doc_id for the rollup). Ratios are
+    rounded to 6 dp and summed as exact DECIMAL so the per-doc weight is
+    independent of float summation order (engine-portable at any SF)."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    tgt_toks = toks.where(F.col("source") == _DSIR_TARGET)
+    raw_toks = toks.where(F.col("source") != _DSIR_TARGET)
+    tgt = tgt_toks.groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    raw = raw_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tots = (
+        toks.agg(
+            F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("tt"),
+            F.sum(F.when(F.col("source") != _DSIR_TARGET, 1).otherwise(0)).alias("tr"),
+            F.count_distinct("w").alias("v"),
+        )
+    )
+    lr = F.round(
+        F.log2((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt") + F.col("v")).cast("double"))
+        - F.log2((F.coalesce(F.col("cr"), F.lit(0)) + 1) / (F.col("tr") + F.col("v")).cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    stats = (
+        tgt.join(raw, "w", "full_outer")
+        .crossJoin(F.broadcast(tots))
+        .select("w", lr.alias("lr"))
+    )
+    return (
+        raw_toks.join(stats, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            # the DECIMAL sum is exact on both engines; emit it as an
+            # unrounded double (decimal->double is deterministic) — a
+            # 4-dp re-round would hit exact-half ...50 cases where Java
+            # (BigDecimal half-up via shortest string) and DuckDB
+            # (multiply+nearbyint) disagree
+            F.sum("lr").cast("double").alias("dsir_log2w"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance of the persisted IVF-PQ index: train once on the
+# base corpus, encode arriving vectors per micro-batch with the FROZEN
+# quantizers, append through the idempotent sink — index freshness
+# without retraining (the FAISS add() discipline, incrementally).
+# ---------------------------------------------------------------------------
+
+from backend_etl_spark.catalog.llmops2 import (  # noqa: E402
+    _KM_ITERS,
+    _KM_K,
+    _kmeans_cte,
+    _PQ_DIM,
+    _PQ_HALF,
+    _PQ_ITERS,
+    _PQ_K,
+    _pq_cte,
+)
+
+_BASE_REL = "(SELECT * FROM embeddings WHERE vec_id % 10 < 8)"
+
+
+def _assign_all_cte(prefix: str, cfinal: str, lo: int = 0, hi: int = 0) -> str:
+    """Assign EVERY vector (not just the training slice) to the frozen
+    centroids ``cfinal`` — the oracle's mirror of encode-with-frozen-
+    quantizers. lo/hi > 0 slice a PQ subspace."""
+    v = (
+        f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]"
+        if lo
+        else "CAST(embedding AS DOUBLE[])"
+    )
+    p = prefix
+    return f"""
+    {p}alle AS (SELECT vec_id, {v} AS v FROM embeddings),
+    {p}dall AS (
+      SELECT e.vec_id, c.cid,
+             round(list_reduce(list_transform(range(len(e.v)),
+                   j -> (e.v[j+1] - c.cv[j+1]) * (e.v[j+1] - c.cv[j+1])),
+                   (x, y) -> x + y), 6) AS dd
+      FROM {p}alle e, {cfinal} c),
+    {p}aall AS (
+      SELECT vec_id, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dd, cid) AS rn
+            FROM {p}dall)
+      WHERE rn = 1)"""
+
+
+@register(
+    "streaming_ivfpq_index_append",
+    oracle=f"""
+    WITH {_kmeans_cte(src=_BASE_REL)},
+    {_pq_cte("s0_", 1, _PQ_HALF, src=_BASE_REL)},
+    {_pq_cte("s1_", _PQ_HALF + 1, _PQ_DIM, src=_BASE_REL)},
+    {_assign_all_cte("g_", f"c{_KM_ITERS - 1}")},
+    {_assign_all_cte("q0_", f"s0_c{_PQ_ITERS - 1}", 1, _PQ_HALF)},
+    {_assign_all_cte("q1_", f"s1_c{_PQ_ITERS - 1}", _PQ_HALF + 1, _PQ_DIM)},
+    codes AS (
+      SELECT a0.vec_id, a0.cluster AS code0, a1.cluster AS code1
+      FROM q0_aall a0 JOIN q1_aall a1 USING (vec_id))
+    SELECT CAST(g.cluster AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(x.code0) AS BIGINT) AS sum_code0,
+           CAST(sum(x.code1) AS BIGINT) AS sum_code1
+    FROM g_aall g JOIN codes x USING (vec_id)
+    GROUP BY g.cluster
+    """,
+)
+def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance for the persisted IVF-PQ layout:
+    quantizers (coarse + 2 PQ codebooks) are trained ONCE on the base
+    80% of the corpus and frozen; the remaining 20% arrives as a
+    multi-batch availableNow file stream — with its first 40 vectors
+    redelivered, the overlap re-scrape shape — and every micro-batch is
+    ENCODED map-side against the frozen centroids inside foreachBatch,
+    then appended to the cluster-partitioned lists through the
+    idempotent natural-key sink (W5: redelivery lands zero duplicate
+    rows). The final per-list summary must hash-match the ORACLE's
+    one-shot encode of the full corpus under base-trained quantizers —
+    proving streaming append ≡ batch rebuild, which is what lets a
+    100 TB/day embedding feed keep its ANN index fresh without ever
+    retraining or re-encoding history (the FAISS add() discipline).
+
+    Scale shape: per batch, encode is map-only (literal centroids);
+    the append's anti-join probes only the vec_id key column of the
+    existing lists. Nothing driver-side but the k×dim centroid pulls
+    at train time."""
+    tune(spark)
+    from backend_etl_spark import sink
+    from backend_etl_spark.operators import clustering
+    from backend_etl_spark.sources.loader import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 < 8)
+    inc = emb.where(F.col("vec_id") % 10 >= 8)
+
+    coarse = clustering.kmeans_fit(base, k=_KM_K, iters=_KM_ITERS)
+    halves = {
+        0: F.slice("embedding", 1, _PQ_HALF),
+        1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
+    }
+    codebooks = {
+        s: clustering.kmeans_fit(
+            base.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
+        )
+        for s, sl in halves.items()
+    }
+
+    def encode(df: DataFrame) -> DataFrame:
+        out = clustering.assign_clusters(df, coarse).select("vec_id", "cluster")
+        for s, sl in halves.items():
+            code = clustering.assign_clusters(
+                df.select("vec_id", sl.alias("embedding")), codebooks[s]
+            ).select("vec_id", F.col("cluster").alias(f"code{s}"))
+            out = out.join(code, "vec_id")
+        return out
+
+    base_dir = scratch_dir("ivfpq-append")
+    src, lists, ckpt = f"{base_dir}/src", f"{base_dir}/lists", f"{base_dir}/ckpt"
+    # the initial build: base corpus encoded and persisted once
+    sink.write_idempotent(encode(base), lists, ["vec_id"], partition_cols=["cluster"])
+    # incoming vectors as a multi-file stream with the first 40 redelivered
+    inc.repartition(4).write.mode("overwrite").parquet(src)
+    inc.orderBy("vec_id").limit(40).write.mode("append").parquet(src)
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        sink.write_idempotent(
+            encode(batch), lists, ["vec_id"], partition_cols=["cluster"]
+        )
+
+    (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(lists)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("code0").cast("bigint").alias("sum_code0"),
+            F.sum("code1").cast("bigint").alias("sum_code1"),
+        )
+    )
+
+
+_RANGE_THRESHOLD = 0.2
+
+
+@register(
+    "knn_cosine_range_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
+    SELECT query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(qv, v) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                 6) AS cosine_sim
+    FROM q, e
+    WHERE e.vec_id != query_id
+      AND round(list_dot_product(qv, v) /
+                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                6) >= {_RANGE_THRESHOLD}
+    """,
+)
+def knn_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (FAISS range_search shape): every corpus vector
+    within cosine radius >= 0.2 of each query — the top-k-free exact-ANN
+    primitive for duplicate-radius audits. Plan is one broadcast of the
+    query set and one map-only filtered corpus pass: no window, no
+    per-query state, no shuffle beyond the broadcast — strictly cheaper
+    than top-k at any scale, and the output size is the data's, not k's.
+    """
+    tune(spark)
+    from backend_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.range_search(
+        emb, emb.where(F.col("vec_id") < 5), _RANGE_THRESHOLD
+    )

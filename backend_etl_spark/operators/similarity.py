@@ -83,6 +83,37 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL neighbors within a cosine-similarity radius — the range-query
+    counterpart of top-k (FAISS range_search): every (query, neighbor)
+    pair with cosine_sim >= threshold, self-matches excluded. Unlike
+    top-k there is no per-query window at all: one broadcast of the
+    query set, one map-only filtered pass over the corpus — the cheapest
+    possible exact-ANN plan shape, and the right primitive for
+    duplicate-radius audits ("everything suspiciously close to X")."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(vec_col).alias("c_vec")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
