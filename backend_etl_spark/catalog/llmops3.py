@@ -21,6 +21,26 @@ _UNIMAX_BUDGET_FRAC = 0.5  # sample budget = half the corpus tokens
 _UNIMAX_MAX_EPOCHS = 2.0  # no source repeats more than twice
 
 
+def unimax_alloc(
+    counts: list[tuple[str, int]],
+    budget_frac: float = _UNIMAX_BUDGET_FRAC,
+    max_epochs: float = _UNIMAX_MAX_EPOCHS,
+) -> list[tuple[str, int, float, float]]:
+    """The UniMax recurrence (ascending-size fair share with an epoch
+    cap): returns (source, ntok, alloc_tokens, epochs) per source.
+    Sequential in the number of sources only; property-tested for cap
+    respect + budget conservation in tests/test_llmops2.py."""
+    rows = sorted(counts, key=lambda r: (r[1], r[0]))
+    remaining = budget_frac * sum(n for _, n in rows)
+    k = len(rows)
+    out = []
+    for i, (source, ntok) in enumerate(rows):
+        a = min(remaining / (k - i), max_epochs * ntok)
+        remaining -= a
+        out.append((source, int(ntok), a, a / ntok))
+    return out
+
+
 @register(
     "curation_unimax_mixture",
     oracle=f"""
@@ -81,15 +101,7 @@ def curation_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("ntok"))
         .collect()
     )
-    rows = sorted(per_source, key=lambda r: (r["ntok"], r["source"]))
-    total = sum(r["ntok"] for r in rows)
-    remaining = _UNIMAX_BUDGET_FRAC * total
-    k = len(rows)
-    out = []
-    for i, r in enumerate(rows):
-        a = min(remaining / (k - i), _UNIMAX_MAX_EPOCHS * r["ntok"])
-        remaining -= a
-        out.append((r["source"], int(r["ntok"]), a, a / r["ntok"]))
+    out = unimax_alloc([(r["source"], r["ntok"]) for r in per_source])
     return spark.createDataFrame(
         out, "source string, ntok bigint, a double, epochs double"
     ).select(

@@ -332,3 +332,29 @@ def test_funnel_counts_ride_stage_writes(spark, sf_dir, tmp_path):
     for k, v in replay.items():
         if k != "n_raw":
             assert v == 0, f"replay appended through {k}"
+
+
+def test_unimax_alloc_caps_and_conserves():
+    """UniMax properties the sf-fixture entry can't exercise (no source
+    is small enough to cap there): (a) every allocation respects the
+    epoch cap, (b) a capped small source's unused fair share flows to
+    the larger sources, (c) total allocation equals the budget whenever
+    the cap total permits, and (d) uncapped sources share equally."""
+    from backend_etl_spark.catalog.llmops3 import unimax_alloc
+
+    counts = [("tiny", 100), ("small", 500), ("big", 50_000), ("huge", 60_000)]
+    out = {s: (a, e) for s, _, a, e in unimax_alloc(counts)}
+    total = sum(n for _, n in counts)
+    budget = 0.5 * total
+    for s, n in counts:
+        assert out[s][1] <= 2.0 + 1e-12, f"{s} exceeds the epoch cap"
+    assert out["tiny"] == (200.0, 2.0)  # capped at 2 epochs
+    assert out["small"] == (1000.0, 2.0)
+    assert abs(sum(a for a, _ in out.values()) - budget) < 1e-6
+    # the two big sources split the remaining budget equally
+    assert abs(out["big"][0] - out["huge"][0]) < 1e-6
+
+    # degenerate: budget larger than cap allows -> everything capped,
+    # conservation impossible, allocation = cap for every source
+    all_capped = unimax_alloc([("a", 10), ("b", 20)], budget_frac=5.0)
+    assert [(s, a) for s, _, a, _ in all_capped] == [("a", 20.0), ("b", 40.0)]
