@@ -899,21 +899,25 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF).alias("embedding"),
         ),
     }
-    coded = {}
+    cents = {}
     for s, df in sub.items():
-        cents = clustering.kmeans_fit(df, k=_PQ_K, iters=_PQ_ITERS)
-        assert len(next(iter(cents.values()))) == _PQ_HALF, (
+        cents[s] = clustering.kmeans_fit(df, k=_PQ_K, iters=_PQ_ITERS)
+        assert len(next(iter(cents[s].values()))) == _PQ_HALF, (
             "fixture embedding dim changed; update _PQ_DIM and the oracle"
         )
-        coded[s] = clustering.assign_clusters(df, cents).select(
-            "vec_id",
-            F.col("cluster").cast("bigint").alias(f"code{s}"),
-            F.col("dist2").alias(f"err2_sub{s}"),
-        )
-    return (
-        coded[0]
-        .join(coded[1], "vec_id")
-        .withColumn("err2_total", F.round(F.col("err2_sub0") + F.col("err2_sub1"), 6))
+    # single-pass encode: both subspace argmins (code + err2) in one
+    # map-only select — no corpus-wide vec_id join between subspaces
+    nc = {
+        0: clustering.nearest_centroid(F.slice("embedding", 1, _PQ_HALF), cents[0]),
+        1: clustering.nearest_centroid(
+            F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF), cents[1]
+        ),
+    }
+    return emb.select(
+        "vec_id",
+        *[nc[s]["cid"].cast("bigint").alias(f"code{s}") for s in (0, 1)],
+        *[nc[s]["d"].alias(f"err2_sub{s}") for s in (0, 1)],
+        F.round(nc[0]["d"] + nc[1]["d"], 6).alias("err2_total"),
     )
 
 
@@ -1089,14 +1093,21 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     from backend_etl_spark.operators.clustering import _dist2, _as_double
 
-    codebooks, coded = {}, None
-    for s, sl in halves.items():
-        sub = emb.select("vec_id", sl.alias("embedding"))
-        codebooks[s] = clustering.kmeans_fit(sub, k=_PQ_K, iters=_PQ_ITERS)
-        c = clustering.assign_clusters(sub, codebooks[s]).select(
-            "vec_id", F.col("cluster").alias(f"code{s}")
+    codebooks = {
+        s: clustering.kmeans_fit(
+            emb.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
         )
-        coded = c if coded is None else coded.join(c, "vec_id")
+        for s, sl in halves.items()
+    }
+    # single-pass encode (both subspace argmins in one map-only select —
+    # no corpus-wide vec_id join between the subspaces)
+    coded = emb.select(
+        "vec_id",
+        *[
+            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
+            for s, sl in halves.items()
+        ],
+    )
 
     # per-query ADC tables: k rounded squared distances per subspace,
     # keyed by codeword id (robust to sparse codebooks — see _adc_maps)
@@ -1175,21 +1186,31 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str):
     from public literature (Jégou et al., PAPERS.md)."""
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = clustering.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
-    index = clustering.assign_clusters(emb, coarse).select("vec_id", "cluster")
     halves = {
         0: F.slice("embedding", 1, _PQ_HALF),
         1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
     }
     from backend_etl_spark.operators.clustering import _as_double, _dist2
 
-    codebooks = {}
-    for s, sl in halves.items():
-        sub = emb.select("vec_id", sl.alias("embedding"))
-        codebooks[s] = clustering.kmeans_fit(sub, k=_PQ_K, iters=_PQ_ITERS)
-        code = clustering.assign_clusters(sub, codebooks[s]).select(
-            "vec_id", F.col("cluster").alias(f"code{s}")
+    codebooks = {
+        s: clustering.kmeans_fit(
+            emb.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
         )
-        index = index.join(code, "vec_id")
+        for s, sl in halves.items()
+    }
+    # single-pass encode: coarse + both subspace argmins in ONE map-only
+    # select — the per-subspace assign-then-join-on-vec_id this replaces
+    # shuffles the full corpus once per subspace at scale
+    index = emb.select(
+        "vec_id",
+        clustering.nearest_centroid(F.col("embedding"), coarse)["cid"].alias(
+            "cluster"
+        ),
+        *[
+            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
+            for s, sl in halves.items()
+        ],
+    )
 
     adt = _adc_maps(codebooks, lambda s, cw: _dist2(_as_double(halves[s]), cw))
     queries = clustering.probe_clusters(
@@ -2322,15 +2343,22 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         0: F.slice("embedding", 1, _PQ_HALF),
         1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
     }
-    codebooks = {}
-    index = assigned.select("vec_id", "cluster")
-    for s, sl in halves.items():
-        sub = resid.select("vec_id", sl.alias("embedding"))
-        codebooks[s] = clustering.kmeans_fit(sub, k=_PQ_K, iters=_PQ_ITERS)
-        code = clustering.assign_clusters(sub, codebooks[s]).select(
-            "vec_id", F.col("cluster").alias(f"code{s}")
+    codebooks = {
+        s: clustering.kmeans_fit(
+            resid.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
         )
-        index = index.join(code, "vec_id")
+        for s, sl in halves.items()
+    }
+    # single-pass residual encode: both subspace argmins in one map-only
+    # select over resid (no corpus-wide vec_id joins)
+    index = resid.select(
+        "vec_id",
+        "cluster",
+        *[
+            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
+            for s, sl in halves.items()
+        ],
+    )
 
     # per-(query, probe) residual → per-probe ADC tables
     probes = (

@@ -310,13 +310,20 @@ def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def encode(df: DataFrame) -> DataFrame:
-        out = clustering.assign_clusters(df, coarse).select("vec_id", "cluster")
-        for s, sl in halves.items():
-            code = clustering.assign_clusters(
-                df.select("vec_id", sl.alias("embedding")), codebooks[s]
-            ).select("vec_id", F.col("cluster").alias(f"code{s}"))
-            out = out.join(code, "vec_id")
-        return out
+        # single-pass: coarse + both subspace argmins in one map-only
+        # select (no per-subspace vec_id joins — see ann_index)
+        return df.select(
+            "vec_id",
+            clustering.nearest_centroid(F.col("embedding"), coarse)["cid"].alias(
+                "cluster"
+            ),
+            *[
+                clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(
+                    f"code{s}"
+                )
+                for s, sl in halves.items()
+            ],
+        )
 
     base_dir = scratch_dir("ivfpq-append")
     src, lists, ckpt = f"{base_dir}/src", f"{base_dir}/lists", f"{base_dir}/ckpt"

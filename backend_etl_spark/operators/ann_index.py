@@ -54,19 +54,29 @@ def build_ivfpq_index(
     half = dim // 2
     spark = emb.sparkSession
     coarse = clustering.kmeans_fit(emb, k=km_k, iters=km_iters)
-    index = clustering.assign_clusters(emb, coarse).select("vec_id", "cluster")
     halves = {
         0: F.slice("embedding", 1, half),
         1: F.slice("embedding", half + 1, dim - half),
     }
-    codebooks: dict[int, dict[int, list[float]]] = {}
-    for s, sl in halves.items():
-        sub = emb.select("vec_id", sl.alias("embedding"))
-        codebooks[s] = clustering.kmeans_fit(sub, k=pq_k, iters=pq_iters)
-        code = clustering.assign_clusters(sub, codebooks[s]).select(
-            "vec_id", F.col("cluster").alias(f"code{s}")
+    codebooks: dict[int, dict[int, list[float]]] = {
+        s: clustering.kmeans_fit(
+            emb.select("vec_id", sl.alias("embedding")), k=pq_k, iters=pq_iters
         )
-        index = index.join(code, "vec_id")
+        for s, sl in halves.items()
+    }
+    # SINGLE-PASS encode: all three argmins in one map-only select — a
+    # per-subspace assign-then-join-on-vec_id would shuffle the full
+    # corpus once per subspace
+    index = emb.select(
+        "vec_id",
+        clustering.nearest_centroid(F.col("embedding"), coarse)["cid"].alias(
+            "cluster"
+        ),
+        *[
+            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
+            for s, sl in halves.items()
+        ],
+    )
     # the inverted lists: one directory per coarse cell. At 100 TB this
     # write is the one full shuffle of the build (repartition by cluster
     # so each list lands as few large files, not n_tasks fragments).

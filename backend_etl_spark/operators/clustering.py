@@ -42,6 +42,29 @@ def _dist2(v: Column, centroid: list[float]) -> Column:
     )
 
 
+def nearest_centroid(
+    vec: Column, centroids: dict[int, list[float]]
+) -> Column:
+    """The argmin-over-literal-centroids STRUCT (fields ``d``, ``cid``)
+    assign_clusters is built on, exposed as a bare expression so a
+    multi-quantizer encode (coarse + N PQ subspaces) can compute every
+    assignment in ONE map-only select — a per-subspace
+    assign-then-join-on-vec_id would shuffle the full corpus once per
+    subspace at scale."""
+    v = _as_double(vec)
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_dist2(v, cent), DIST_DP).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cent in sorted(centroids.items())
+            ]
+        )
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: dict[int, list[float]],
@@ -53,18 +76,7 @@ def assign_clusters(
     literal struct array (dist rounded, tie-break on cluster id), so the
     stage broadcasts nothing at runtime and shuffles nothing.
     """
-    v = _as_double(F.col(emb_col))
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.round(_dist2(v, cent), DIST_DP).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cent in sorted(centroids.items())
-            ]
-        )
-    )
+    best = nearest_centroid(F.col(emb_col), centroids)
     return df.withColumn("cluster", best["cid"]).withColumn("dist2", best["d"])
 
 
