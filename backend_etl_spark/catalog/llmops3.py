@@ -395,3 +395,135 @@ def knn_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.range_search(
         emb, emb.where(F.col("vec_id") < 5), _RANGE_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination #2: semantic (embedding-space) — the complement of the
+# n-gram overlap entry; and the keep-BEST dedup policy (production picks
+# the longest/highest-quality member, not the smallest id).
+# ---------------------------------------------------------------------------
+
+_SEM_DECONTAM_TAU = 0.25
+
+
+@register(
+    "decontam_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id < 10),
+    hits AS (
+      SELECT e.vec_id AS doc_id, eval_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM ev, e WHERE e.vec_id >= 10)
+    SELECT doc_id, eval_id AS closest_eval_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cosine DESC, eval_id) AS rn
+          FROM hits WHERE cosine >= {_SEM_DECONTAM_TAU})
+    WHERE rn = 1
+    """,
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of decontam_ngram_overlap (paraphrased eval leakage that
+    shares no 4-grams still sits next to the eval point in embedding
+    space): every corpus doc within cosine >= 0.25 of ANY eval
+    embedding (eval set = ids < 10) is reported as contaminated, with
+    its closest eval item as evidence. The drop list a production
+    pipeline anti-joins against (the Gemini/Llama report recipe).
+
+    Scale shape: eval set broadcasts (it is benchmark-sized by
+    definition); the corpus pass is map-only filter + one per-doc
+    window over the ≤|eval| surviving hits — no corpus-corpus pair ever
+    forms."""
+    tune(spark)
+    from backend_etl_spark.operators import similarity
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hits = similarity.range_search(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        _SEM_DECONTAM_TAU,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("query_id").alias("eval_id"),
+        F.col("cosine_sim").alias("cosine"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cosine").desc(), "eval_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("eval_id").alias("closest_eval_id"), "cosine")
+    )
+
+
+from backend_etl_spark.catalog.llmops import _BANDS_CTE  # noqa: E402
+
+
+@register(
+    "dedup_keep_best_in_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY node),
+    sel AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT cluster_id,
+           doc_id                   AS kept_doc_id,
+           CAST(n_chars AS BIGINT)  AS kept_n_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM sel WHERE rn = 1
+    """,
+)
+def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup policy: near-dup clusters from the LSH candidate
+    graph (same components as dedup_cluster_components), but the
+    survivor is the cluster's LONGEST document (tie → smallest id), not
+    the smallest id — what production pipelines actually keep (the
+    richest copy of boilerplate-wrapped content). Emits one row per
+    cluster with the kept doc and member count; the drop set is every
+    other member.
+
+    Scale shape: components via iterative min-label propagation
+    (1 equi-join/round, diameter-bounded); the policy itself is one
+    per-cluster window — partitioned, never global."""
+    tune(spark)
+    from backend_etl_spark.operators import dedup
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    comp = dedup.cluster_components(pairs, docs.select("doc_id"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").cast("bigint").alias("kept_n_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
