@@ -1,9 +1,10 @@
 """Training-data-pipeline operator catalog, tier 3 (round 5): corpus
-mixture allocation (UniMax), importance resampling weights (DSIR), and
-streaming maintenance of the persisted ANN index.
+mixture allocation (UniMax), importance resampling weights (DSIR),
+streaming maintenance of the persisted ANN index, cosine range search,
+semantic benchmark decontamination, and the keep-best dedup policy.
 
 All public-literature recipes (Chung et al. 2023 UniMax; Xie et al.
-2023 DSIR; Jégou et al. 2011 IVF-PQ — PAPERS.md), expressed
+2023 DSIR; Jégou et al. 2011 IVF-PQ / range_search), expressed
 DataFrame-first with DuckDB-replayable oracles.
 """
 
@@ -527,3 +528,114 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022) and the fastText-style
+# hashed linear quality classifier (Joulin et al. 2016) — the two
+# remaining public training-data-pipeline stages: span-level cutting
+# (vs doc-level dropping) and cheap model-based filtering.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(range(len(t) - {_SPAN_K} + 1)) AS pos
+            FROM toks WHERE len(t) >= {_SPAN_K}),
+    grams AS (SELECT doc_id, pos,
+                     array_to_string(t[pos + 1 : pos + {_SPAN_K}], ' ') AS gram
+              FROM pos),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS s,
+                    CAST(g.pos + {_SPAN_K} - 1 AS BIGINT) AS e
+             FROM grams g JOIN dup USING (gram)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ni
+      FROM hits),
+    isl AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+            FROM flagged)
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, ExactSubstr):
+    the maximal token intervals of each document covered by an
+    8-token gram that occurs >= 2 times anywhere in the corpus —
+    the spans Lee et al. CUT (instead of dropping whole documents),
+    detected with positional k-grams instead of a suffix array: every
+    duplicated substring of length >= k is covered by its duplicated
+    k-grams, so recall over >= k matches is exact, and the suffix
+    array's global sort is replaced by ONE groupBy on the gram key +
+    an equi-join back — linear, bounded-width shuffles
+    (operators/dedup.py:duplicate_substring_spans). Span merging is a
+    per-doc gaps-and-islands window — partitioned, never global.
+
+    The complement of dedup_passage_windows (paragraph hashes at fixed
+    stride): this finds duplication at ANY offset, the property the
+    suffix-array method is prized for."""
+    tune(spark)
+    from backend_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_substring_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+from backend_etl_spark.operators.textops import QCLF_BUCKETS  # noqa: E402
+
+
+@register(
+    "quality_linear_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    scored AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             list_reduce(list_transform(t, w ->
+               ((('0x' || substr(md5('qclf#' || w), 1, 8))::BIGINT
+                 % {QCLF_BUCKETS}) * 37 + 11) % 21 - 10),
+               (a, b) -> a + b) AS wsum
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id, n_tokens,
+           round(wsum / (10.0 * n_tokens), 6) AS quality_logit,
+           round(1.0 / (1.0 + exp(-round(wsum / (10.0 * n_tokens), 6))), 4)
+             AS quality_score,
+           wsum >= 0 AS keep
+    FROM scored
+    """,
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the cheap linear tier (CCNet /
+    Llama recipe; Joulin et al. 2016 fastText): tokens hash into 64
+    weight buckets (hashing trick — md5-derived so the oracle replays
+    the buckets exactly), the doc logit is the mean token weight, and
+    keep = logit >= 0, decided on the exact integer weight sum so the
+    boolean can never float-diverge. The weight table is a fixed
+    deterministic stand-in (integer tenths) — swapping in trained
+    fastText weights changes one literal expression, none of the
+    plumbing.
+
+    Scale shape: ZERO shuffles — the whole classifier is one
+    whole-stage-codegen map pass (array fold via ``aggregate``, no
+    explode, no UDF); at 100 TB it costs a corpus scan, which is why
+    production pipelines run the linear gate before anything heavier
+    (operators/textops.py:hashed_linear_quality)."""
+    tune(spark)
+    from backend_etl_spark.operators.textops import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_quality(docs, "doc_id", "text")

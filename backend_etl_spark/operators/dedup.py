@@ -435,3 +435,70 @@ def cluster_components(
     return labels.unionByName(isolated).select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact-substring duplicate SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the token intervals of
+    each document that are covered by a ``k``-token gram occurring at
+    least twice anywhere in the corpus (other docs OR elsewhere in the
+    same doc). Lee et al. build a suffix array and CUT these spans
+    instead of dropping whole documents; this is the same detection
+    expressed as distributed relational ops — positional k-grams are the
+    bounded-width stand-in for suffixes (every duplicated substring of
+    length >= k is covered by its duplicated k-grams, so span recall is
+    exact for >= k matches).
+
+    Returns one row per maximal duplicated interval:
+    ``(id_col, span_start, span_end)`` — 0-based token positions,
+    inclusive; overlapping/adjacent gram hits are merged into maximal
+    spans via a per-doc gaps-and-islands window.
+
+    Scale shape: positional grams are one map-only pass (zip_with
+    builder, posexplode); the duplicate test is ONE groupBy on the gram
+    key (partial counts combine map-side) followed by an equi-join back
+    on the same key — linear shuffles on a bounded-width md5'able key,
+    never doc×doc. The island merge windows are partitioned by doc —
+    no global window. At 100 TB the gram groupBy is the same shuffle
+    class as dedup_minhash_signatures' shingle pass.
+    """
+    from pyspark.sql.window import Window
+    from backend_etl_spark.operators.textops import word_ngrams
+
+    toks = tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col), F.posexplode(word_ngrams(toks, k)).alias("pos", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        id_col, F.col("pos").cast("bigint").alias("s"),
+        (F.col("pos") + (k - 1)).cast("bigint").alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        id_col, "s", "e",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )

@@ -471,3 +471,64 @@ def bpe_train_merges(
             }
         )
     return merges
+
+
+#: hashed-feature linear quality model: bucket count and the fixed
+#: per-bucket weight table (integer TENTHS so per-doc sums are exact
+#: integers — engine-portable regardless of float summation order). In
+#: production the weights come from a trained fastText / logistic model
+#: (Joulin et al. 2016; the CCNet/Llama quality-classifier stage); the
+#: deterministic stand-in keeps the full serving plumbing — hashing
+#: trick, mean pooling, sigmoid — real and testable without a model
+#: artifact in the container.
+QCLF_BUCKETS = 64
+
+
+def _qclf_weight_tenths(bucket: Column) -> Column:
+    """Weight of a hashed bucket in integer tenths: ((b·37+11) mod 21) − 10
+    ∈ [−10, 10] — a fixed, uniformly spread stand-in weight table."""
+    return (bucket * 37 + 11) % 21 - 10
+
+
+def hashed_linear_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """fastText-style linear quality classifier over the hashing trick
+    (Joulin et al. 2016; Weinberger et al. 2009): every token hashes to
+    one of QCLF_BUCKETS weight slots (md5-derived — the DuckDB oracle
+    reproduces the buckets exactly), the document logit is the MEAN of
+    its token weights (fastText's mean pooling), and keep = logit >= 0
+    (≡ sigmoid >= 0.5, decided on the exact integer sum so the boolean
+    can never diverge between engines).
+
+    Entirely map-only: the token array is folded with ``aggregate`` —
+    no explode, no shuffle, no UDF; at 100 TB this is a single
+    whole-stage-codegen pass over the corpus, the cheapest possible
+    shape for model-based filtering (the CCNet discipline: cheap linear
+    gate first, expensive models only on survivors)."""
+    toks = tokens(F.col(text_col))
+    bucket = lambda t: (  # noqa: E731 — md5-portable bucket (sketch.py idiom)
+        F.conv(F.substring(F.md5(F.concat(F.lit("qclf#"), t)), 1, 8), 16, 10)
+        .cast("bigint")
+        % QCLF_BUCKETS
+    )
+    wsum = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + _qclf_weight_tenths(bucket(t)),
+    )
+    n = F.size(toks).cast("bigint")
+    logit = F.col("wsum") / (10.0 * F.col("n_tokens"))
+    return (
+        df.select(F.col(id_col), n.alias("n_tokens"), wsum.alias("wsum"))
+        .where(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(logit, 6).alias("quality_logit"),
+            F.round(1.0 / (1.0 + F.exp(-F.round(logit, 6))), 4).alias(
+                "quality_score"
+            ),
+            (F.col("wsum") >= 0).alias("keep"),
+        )
+    )
