@@ -539,11 +539,11 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8
 
-
-@register(
-    "dedup_substring_spans",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+#: shared CTE chain: positional k-grams → duplicated grams → per-doc
+#: gaps-and-islands merge. Used by both the span DETECTION oracle and
+#: the span CUT oracle below.
+_SPAN_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     pos AS (SELECT doc_id, t,
                    unnest(range(len(t) - {_SPAN_K} + 1)) AS pos
             FROM toks WHERE len(t) >= {_SPAN_K}),
@@ -566,7 +566,13 @@ _SPAN_K = 8
     isl AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS island
-            FROM flagged)
+            FROM flagged)"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES}
     SELECT doc_id,
            CAST(min(s) AS BIGINT) AS span_start,
            CAST(max(e) AS BIGINT) AS span_end
@@ -639,3 +645,49 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hashed_linear_quality(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+              FROM isl GROUP BY doc_id, island),
+    posx AS (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks),
+    cutpos AS (SELECT DISTINCT p.doc_id, p.i
+               FROM posx p JOIN spans s
+                 ON s.doc_id = p.doc_id AND p.i BETWEEN s.ss AND s.se),
+    keptp AS (SELECT p.doc_id, p.i, p.t[p.i + 1] AS w
+              FROM posx p ANTI JOIN cutpos c
+                ON c.doc_id = p.doc_id AND c.i = p.i),
+    clean AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(w, ' ' ORDER BY i) AS ct
+              FROM keptp GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT)                        AS n_tokens,
+           CAST(len(t.t) - coalesce(c.n_kept, 0) AS BIGINT) AS tokens_removed,
+           coalesce(c.ct, '')                               AS clean_text
+    FROM toks t LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022): CUT
+    the duplicated spans out of every document instead of dropping the
+    document — dedup_substring_spans finds the maximal duplicated
+    intervals, this entry removes exactly those token positions and
+    re-joins the survivors, reporting per-doc before/after token counts
+    and the cleaned text. Span cutting is what Lee et al. actually ship:
+    it keeps the unique remainder of boilerplate-wrapped documents that
+    doc-level dropping would lose.
+
+    Scale shape: detection cost is dedup_substring_spans; the apply adds
+    ONE groupBy of spans onto the doc key, a left join back, and a
+    map-only positional array filter (exists over the doc's own merged
+    span list — spans per doc are few because overlaps were merged).
+    The oracle replays the cut as a positional anti-join
+    (operators/dedup.py:cut_substring_spans)."""
+    tune(spark)
+    from backend_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cut_substring_spans(docs, "doc_id", "text", k=_SPAN_K)

@@ -502,3 +502,50 @@ def duplicate_substring_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def cut_substring_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """APPLY step of exact-substring dedup (Lee et al. 2022): remove the
+    duplicated spans found by :func:`duplicate_substring_spans` from each
+    document, keeping the surrounding text — span-level cutting instead
+    of document-level dropping (Lee et al. report this preserves ~97% of
+    unique content that doc-dropping would discard).
+
+    Returns ``(id_col, n_tokens, tokens_removed, clean_text)`` for EVERY
+    document — clean_text is the space-joined surviving tokens ('' when
+    the whole doc was duplicated or empty).
+
+    Scale shape: detection is duplicate_substring_spans (linear gram
+    shuffles); the cut itself is one groupBy of spans onto the doc key
+    + a left join back + a map-only positional filter (``filter`` with
+    the position lambda, ``exists`` over the doc's own span list —
+    O(n_tokens × n_spans) per row, spans per doc are few by
+    construction since overlaps are pre-merged). No explode of tokens,
+    no second corpus shuffle beyond the span join."""
+    spans = duplicate_substring_spans(df, id_col, text_col, k)
+    agg = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans")
+    )
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    staged = df.join(agg, id_col, "left").select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("t"),
+        F.coalesce(F.col("spans"), empty).alias("sp"),
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("sp"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return staged.select(
+        id_col,
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("bigint").alias("tokens_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
