@@ -1,11 +1,14 @@
 """Training-data-pipeline operator catalog, tier 3 (round 5): corpus
 mixture allocation (UniMax), importance resampling weights (DSIR),
 streaming maintenance of the persisted ANN index, cosine range search,
-semantic benchmark decontamination, and the keep-best dedup policy.
+semantic benchmark decontamination, the keep-best dedup policy,
+exact-substring span dedup (detect + cut), and the hashed linear
+quality classifier.
 
 All public-literature recipes (Chung et al. 2023 UniMax; Xie et al.
-2023 DSIR; Jégou et al. 2011 IVF-PQ / range_search), expressed
-DataFrame-first with DuckDB-replayable oracles.
+2023 DSIR; Jégou et al. 2011 IVF-PQ / range_search; Lee et al. 2022
+ExactSubstr; Joulin et al. 2016 fastText), expressed DataFrame-first
+with DuckDB-replayable oracles.
 """
 
 from __future__ import annotations
