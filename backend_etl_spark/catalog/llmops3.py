@@ -694,3 +694,60 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup.cut_substring_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, md5(text) AS h
+                 FROM documents WHERE doc_id % 10 < 8),
+    new AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                            ELSE text END) AS h
+            FROM documents WHERE doc_id % 10 >= 2)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC classification between two crawls of the same
+    corpus: FULL OUTER join on the document key, rows classified
+    added / removed / changed / unchanged by comparing content hashes —
+    the change-data-capture primitive behind incremental re-processing
+    (only 'added' + 'changed' docs re-enter the dedup/quality/index
+    stages; 'removed' emits tombstones). Snapshots are carved
+    deterministically from the static table (old = id%10<8,
+    new = id%10>=2 with every 7th doc's text revised) so the diff has
+    all four classes.
+
+    Scale shape: one equi-join on the doc key — hashes are computed
+    map-side in the same scan, so the shuffle carries (id, 16-byte md5)
+    pairs, never text; at 100 TB both snapshots would be bucketed on
+    doc_id by the ingest writer (write_bucketed, sources/loader.py)
+    making the diff zero-Exchange like bucketed_sessionize_events."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 < 8).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    new = docs.where(F.col("doc_id") % 10 >= 2).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
