@@ -185,3 +185,78 @@ def bloom_might_contain(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+# ---------------------------------------------------------------------------
+# LogLog distinct-count sketch (FM-family max-rho registers)
+# ---------------------------------------------------------------------------
+
+#: LogLog constant alpha_m for m >= 64 (Durand & Flajolet 2003):
+#: E = alpha * m * 2^(sum R / m) over max-rho registers
+LL_ALPHA = 0.39701
+
+
+def _fm_rho(h: F.Column) -> F.Column:
+    """rho(h) = 1-based position of the least-significant set bit of the
+    32-bit value ``h`` (33 when h == 0 — all bits clear). ``h & -h``
+    isolates the lowest set bit; log2 of an exact power of two is exact
+    in IEEE doubles, so the cast is engine-stable (verified identical in
+    DuckDB and the JVM)."""
+    lsb = h.bitwiseAND(-h)
+    return (
+        F.when(h == 0, F.lit(33))
+        .otherwise(F.log2(lsb).cast("int") + 1)
+        .cast("int")
+    )
+
+
+def fm_registers(df: DataFrame, key: F.Column, m: int, tag: str = "fm") -> DataFrame:
+    """LogLog register relation ``(reg, r)`` — for each of ``m`` registers
+    (stochastic averaging: register = h1 % m), the max rho over the
+    second 32 hash bits of every key routed there. Registers no key
+    hashed into are ABSENT (the consumer left-joins a dense spine and
+    coalesces to 0, matching the estimator's convention).
+
+    One map-only select + one groupBy on the bounded register id: max is
+    associative so partial aggregation merges register maxima map-side —
+    at most ``m`` rows per input partition reach the shuffle regardless
+    of input cardinality. The same max-merge IS the sketch-union
+    operation: fm_registers(A) max-merged with fm_registers(B) equals
+    fm_registers(A UNION ALL B), making the sketch distributive over any
+    partitioning of the input (the property ``sketch_fm_merge_union``
+    attests).
+
+    Hashes are the engine-portable md5 family (first 8 hex chars →
+    register, next 8 → rho bits), so a DuckDB oracle replays the sketch
+    bit-for-bit — full value attestation, unlike the engine-opaque HLL++
+    in approx_count_distinct."""
+    seed = F.concat(F.lit(f"{tag}0#"), key)
+    h1 = F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(seed), 9, 8), 16, 10).cast("bigint")
+    return (
+        df.select((h1 % m).alias("reg"), _fm_rho(h2).alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def fm_estimate(registers: DataFrame, m: int) -> DataFrame:
+    """1-row LogLog estimate from a ``fm_registers`` relation:
+    E = alpha_m * m * 2^(sum R / m), empty registers counting 0 (Durand
+    & Flajolet 2003, Thm 1). The dense spine is a generated m-row
+    sequence (broadcast-sized); sum R stays integral so the only float
+    work is one pow over an exact dyadic exponent."""
+    spine = registers.sparkSession.range(m).select(F.col("id").alias("reg"))
+    dense = spine.join(registers, "reg", "left").select(
+        F.coalesce(F.col("r"), F.lit(0)).alias("r")
+    )
+    return dense.agg(
+        F.sum("r").cast("bigint").alias("sum_rho"),
+        F.count(F.when(F.col("r") == 0, 1)).cast("bigint").alias("n_empty"),
+    ).select(
+        "sum_rho",
+        "n_empty",
+        F.round(
+            F.lit(LL_ALPHA * m) * F.pow(F.lit(2.0), F.col("sum_rho") / float(m)), 4
+        ).alias("fm_est"),
+    )

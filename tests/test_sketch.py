@@ -182,3 +182,61 @@ class TestTrigramBackoff:
         # held-out docs (doc_id % 10 == 0) are scored too — they are the
         # rows that exercise the backoff chain
         assert any(r["doc_id"] % 10 == 0 for r in rows)
+
+
+class TestLogLog:
+    M = 64
+
+    def test_register_relation_bounded_and_merge_is_max(self, spark):
+        # mergeability: max-merged per-shard registers == whole-input
+        # registers, for ANY split (here an arbitrary 2-way one)
+        df = _keys_df(spark, [f"k{i}" for i in range(400)])
+        a = df.where(F.length("k") <= 2)  # k0..k9
+        b = df.subtract(a)
+        whole = sketch.fm_registers(df, F.col("k"), self.M)
+        sa = sketch.fm_registers(a, F.col("k"), self.M)
+        sb = sketch.fm_registers(b, F.col("k"), self.M)
+        merged = (
+            sa.withColumnRenamed("r", "ra")
+            .join(sb.withColumnRenamed("r", "rb"), "reg", "full")
+            .select(
+                "reg",
+                F.greatest(
+                    F.coalesce("ra", F.lit(0)), F.coalesce("rb", F.lit(0))
+                ).alias("r"),
+            )
+        )
+        assert whole.count() <= self.M
+        assert merged.subtract(whole).count() == 0
+        assert whole.subtract(merged).count() == 0
+
+    def test_estimate_tracks_cardinality(self, spark):
+        # LogLog sigma ~ 1.30/sqrt(64) ~ 16%; assert a generous 3-sigma
+        # corridor at two cardinalities an order apart
+        for n in (1000, 8000):
+            df = _keys_df(spark, [f"key-{i}" for i in range(n)])
+            regs = sketch.fm_registers(df, F.col("k"), self.M)
+            est = sketch.fm_estimate(regs, self.M).collect()[0]["fm_est"]
+            assert abs(est - n) <= 0.5 * n, (n, est)
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        # distinct-count property: max-rho registers are insensitive to
+        # multiplicity, so 50x-duplicated input yields the SAME sketch
+        base = [f"key-{i}" for i in range(500)]
+        once = sketch.fm_registers(_keys_df(spark, base), F.col("k"), self.M)
+        many = sketch.fm_registers(
+            _keys_df(spark, base * 50), F.col("k"), self.M
+        )
+        assert once.subtract(many).count() == 0
+        assert many.subtract(once).count() == 0
+
+    def test_catalog_entries_green(self, spark, sf_dir):
+        row = (
+            REGISTRY["sketch_loglog_distinct_portable"].fn(spark, sf_dir).collect()
+        )[0]
+        assert row["within_bound"] is True
+        assert row["n_empty"] >= 0
+        u = REGISTRY["sketch_loglog_merge_union"].fn(spark, sf_dir).collect()[0]
+        assert u["merge_lossless"] is True
+        assert u["sum_rho_merged"] == u["sum_rho_direct"]
+        assert abs(u["est_union"] - u["exact_union"]) <= 0.35 * u["exact_union"]
