@@ -751,3 +751,112 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Robertson-Sparck Jones; Lucene's non-negative IDF variant)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("hash", "join", "spark")
+
+_BM25_ORACLE = f"""
+    WITH q AS (SELECT unnest({list(_BM25_QUERY)}) AS term),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+              FROM documents),
+    tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+           FROM toks t JOIN q USING (term) GROUP BY t.doc_id, t.term),
+    dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks JOIN q USING (term) GROUP BY term),
+    idf AS (SELECT term,
+                   round(ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
+                     AS idf
+            FROM dfreq CROSS JOIN stats),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(round(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * dl.dl / stats.avgdl)), 6)) AS score,
+             count(*) AS n_query_terms
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25,
+           CAST(n_query_terms AS BIGINT) AS n_query_terms
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 15
+"""
+
+
+@register("text_bm25_ranking", oracle=_BM25_ORACLE)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson et al.; Lucene's non-negative
+    ln(1 + (N-df+0.5)/(df+0.5)) IDF, k1=1.2, b=0.75) for a fixed 3-term
+    query over the documents corpus — top-15 with doc_id tiebreak
+    (TakeOrdered; ordering is carried by the attested scores). The
+    retrieval scorer behind sparse-retrieval RAG and quality-biased
+    corpus selection, completing the relevance family next to
+    tfidf_top_terms (pure TF-IDF) and knn_* (dense).
+
+    Scale shape: doc-length and TF tables are one explode + bounded
+    groupBys; the query-term TF table is filtered to |Q| terms BEFORE
+    any join (a broadcast semi join on the query literals), so the
+    per-term IDF and the final score join touch only matching postings
+    — never the full vocabulary. Final top-15 is a TakeOrdered, not a
+    global sort. The corpus statistics (N, avgdl) ride a broadcast
+    1-row frame.
+    """
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame([(t,) for t in _BM25_QUERY], ["term"])
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    qtoks = toks.join(F.broadcast(q), "term")
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = qtoks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    k1, b = _BM25_K1, _BM25_B
+    per_term = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(per_term), 6).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_query_terms"),
+        )
+    )
+    return (
+        scored.select("doc_id", "bm25", "n_query_terms")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )

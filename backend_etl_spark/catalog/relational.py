@@ -1386,3 +1386,122 @@ _REG["layout_zorder_key"].oracle = f"""
            {_mz("user_dim", "hour_dim")} AS zkey
     FROM d
 """
+
+
+@register(
+    "layout_compact_small_files",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(event_id) AS BIGINT) AS min_eid,
+           CAST(max(event_id) AS BIGINT) AS max_eid,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-at-rest #4: SMALL-FILE COMPACTION — the #1 operational
+    chore of a streaming lake (each micro-batch writes a file per
+    partition; a week later the table is millions of KB-sized files and
+    every scan pays open/footer cost per file). The entry stages events
+    as 64 deliberately tiny files (a micro-batch sink's worth), then
+    compacts: repartitionByRange on the time column (so compacted files
+    are time-clustered and per-file min/max stats prune ts-range scans)
+    + sortWithinPartitions + maxRecordsPerFile as the size governor.
+    The hourly rollup of the COMPACTED re-read must hash-match the
+    oracle computed straight from the source — compaction is pure
+    layout, zero answer drift (tests assert the file-count collapse and
+    the per-file time-clustering directly).
+
+    Scale shape: compaction is ONE range shuffle (range exchange
+    samples the key, so output files are even-sized under skew) and a
+    map-side local sort — no aggregation state; at 100 TB it runs
+    per-partition-incrementally (compact yesterday's hive partition,
+    never the whole table)."""
+    from backend_etl_spark.sources.loader import staging_dir
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    frag, compact = (
+        staging_dir("layout", "events_fragmented"),
+        staging_dir("layout", "events_compacted"),
+    )
+    # the "week of micro-batches": 64 round-robin fragments
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .parquet(compact)
+    )
+    out = spark.read.parquet(compact)
+    return out.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("event_id").cast("bigint").alias("min_eid"),
+        F.max("event_id").cast("bigint").alias("max_eid"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "schema_evolution_mergeschema",
+    oracle="""
+    WITH v1 AS (SELECT event_id, user_id, event_type,
+                       CAST(NULL AS VARCHAR) AS channel
+                FROM events WHERE event_id % 2 = 0),
+    v2 AS (SELECT event_id, user_id, event_type,
+                  CASE WHEN event_id % 3 = 0 THEN 'web'
+                       WHEN event_id % 3 = 1 THEN 'ios'
+                       ELSE 'android' END AS channel
+           FROM events WHERE event_id % 2 = 1),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT coalesce(channel, '<pre-migration>') AS channel,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM u
+    GROUP BY 1, 2
+    """,
+)
+def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on a parquet lake: day-1 files were written
+    before the ``channel`` column existed; day-2 files carry it. A
+    ``mergeSchema`` read unions the footers into one superset schema —
+    old files surface NULL for the new column, no rewrite of history
+    (the additive-evolution contract every long-lived ingest table
+    relies on; the reference's ALTER-less sqlite tables get this for
+    free by never adding columns — a 100 TB lake cannot).
+
+    The aggregation buckets pre-migration rows under an explicit
+    '<pre-migration>' label so the oracle attests exactly which rows
+    lack the column. Scale shape: footer merge is metadata-only
+    (per-file schemas union on the driver, data never rewritten);
+    the rollup is one bounded groupBy."""
+    from backend_etl_spark.sources.loader import staging_dir
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    root = staging_dir("layout", "events_evolving")
+    base = ev.select("event_id", "user_id", "event_type")
+    base.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{root}/day=1"
+    )
+    channel = (
+        F.when(F.col("event_id") % 3 == 0, "web")
+        .when(F.col("event_id") % 3 == 1, "ios")
+        .otherwise("android")
+    )
+    base.where(F.col("event_id") % 2 == 1).withColumn(
+        "channel", channel
+    ).write.mode("overwrite").parquet(f"{root}/day=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy(
+        F.coalesce(F.col("channel"), F.lit("<pre-migration>")).alias("channel"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -358,3 +358,57 @@ def test_unimax_alloc_caps_and_conserves():
     # conservation impossible, allocation = cap for every source
     all_capped = unimax_alloc([("a", 10), ("b", 20)], budget_frac=5.0)
     assert [(s, a) for s, _, a, _ in all_capped] == [("a", 20.0), ("b", 40.0)]
+
+
+class TestBM25:
+    def test_ranking_properties(self, spark, sf_dir):
+        from backend_etl_spark.catalog import REGISTRY
+        from backend_etl_spark.catalog.llmops3 import _BM25_K1, _BM25_QUERY
+
+        rows = REGISTRY["text_bm25_ranking"].fn(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 15
+        # non-negative IDF variant -> scores strictly positive, and the
+        # per-term contribution saturates at idf*(k1+1): total score is
+        # bounded by n_query_terms * max_idf * (k1+1)
+        for r in rows:
+            assert r["bm25"] > 0
+            assert 1 <= r["n_query_terms"] <= len(_BM25_QUERY)
+        # ln(1 + (N-df+.5)/(df+.5)) <= ln(1+2N) loose cap with tiny df
+        import math
+
+        n_docs = 500 * 10  # sf-independent loose cap: oversize N
+        cap = len(_BM25_QUERY) * math.log(1 + 2 * n_docs) * (_BM25_K1 + 1)
+        assert all(r["bm25"] < cap for r in rows)
+
+    def test_saturation_beats_raw_tf(self, spark):
+        # a doc repeating one query term 50x must NOT outrank a doc
+        # matching all three terms once each (the k1 saturation that
+        # distinguishes BM25 from raw tf-idf)
+        import backend_etl_spark.catalog.llmops3 as m
+
+        spam = "hash " * 50
+        balanced = "hash join spark "
+        filler = "table scan row column " * 5
+        docs = [
+            (1, spam + filler),
+            (2, balanced + filler),
+            *[(i, filler) for i in range(3, 40)],
+        ]
+        import os
+        import tempfile
+
+        import duckdb
+
+        d = tempfile.mkdtemp(prefix="bm25-test-")
+        duckdb.sql(
+            "COPY (SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in docs)
+            + ") v(doc_id, text)) TO '"
+            + os.path.join(d, "documents.parquet")
+            + "' (FORMAT PARQUET)"
+        )
+        out = {
+            r["doc_id"]: r["bm25"]
+            for r in m.text_bm25_ranking(spark, d).collect()
+        }
+        assert out[2] > out[1], out

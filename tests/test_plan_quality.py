@@ -476,3 +476,70 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compaction_collapses_files_and_clusters_time(spark, sf_dir):
+    """The compaction entry's two layout claims, measured directly:
+    (i) the fragmented staging dir holds ~64 files and the compacted one
+    collapses to the range-partition count; (ii) compacted files are
+    time-clustered — per-file ts ranges are near-disjoint, so min/max
+    stats prune a ts-range scan to ~1/4 of files (fragmented round-robin
+    files all span the whole timeline: zero pruning)."""
+    import glob
+
+    from backend_etl_spark.catalog import REGISTRY
+    from backend_etl_spark.sources.loader import staging_dir
+
+    REGISTRY["layout_compact_small_files"].fn(spark, sf_dir).collect()
+    frag = glob.glob(staging_dir("layout", "events_fragmented") + "/part-*")
+    comp = glob.glob(staging_dir("layout", "events_compacted") + "/part-*")
+    assert len(frag) >= 32, len(frag)
+    assert len(comp) <= 8, len(comp)
+
+    def per_file_ranges(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .collect()
+        )
+
+    lo_all = min(r["lo"] for r in per_file_ranges(frag[0].rsplit("/", 1)[0]))
+    hi_all = max(r["hi"] for r in per_file_ranges(frag[0].rsplit("/", 1)[0]))
+    span = (hi_all - lo_all).total_seconds()
+    probe_lo, probe_hi = lo_all, lo_all + (hi_all - lo_all) / 10
+    # files whose [min,max] overlaps the probe window = files a stats-
+    # aware scan must open
+    frag_hit = sum(
+        1
+        for r in per_file_ranges(frag[0].rsplit("/", 1)[0])
+        if r["lo"] <= probe_hi and r["hi"] >= probe_lo
+    )
+    comp_ranges = per_file_ranges(comp[0].rsplit("/", 1)[0])
+    comp_hit = sum(
+        1 for r in comp_ranges if r["lo"] <= probe_hi and r["hi"] >= probe_lo
+    )
+    assert span > 0
+    # round-robin files nearly all overlap any window (no pruning);
+    # time-clustered files overlap only their slice
+    assert frag_hit >= len(frag) // 2, (frag_hit, len(frag))
+    assert comp_hit <= max(1, len(comp_ranges) // 2), (comp_hit, len(comp_ranges))
+    assert frag_hit / len(frag) > 1.5 * comp_hit / len(comp_ranges)
+
+
+def test_mergeschema_read_is_superset_with_null_backfill(spark, sf_dir):
+    """The evolution entry's contract at the schema level: the merged
+    read exposes the union schema; pre-migration files yield NULL (not
+    errors, not dropped rows) for the post-migration column."""
+    from backend_etl_spark.catalog import REGISTRY
+    from backend_etl_spark.sources.loader import staging_dir
+
+    REGISTRY["schema_evolution_mergeschema"].fn(spark, sf_dir).collect()
+    root = staging_dir("layout", "events_evolving")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert "channel" in merged.columns
+    v1_only = spark.read.parquet(f"{root}/day=1")
+    assert "channel" not in v1_only.columns
+    n_v1 = v1_only.count()
+    assert merged.where(F.col("channel").isNull()).count() == n_v1
+    assert merged.count() == n_v1 + spark.read.parquet(f"{root}/day=2").count()
