@@ -1,6 +1,7 @@
 """Catalog assembly: importing the query modules populates REGISTRY."""
 
 from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
+    geoq,
     ingestq,
     ingestq2,
     llmops,

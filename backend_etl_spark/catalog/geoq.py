@@ -1,0 +1,128 @@
+"""Geospatial catalog entries: bounded-radius nearest-neighbor join
+over grid-binned coordinates.
+
+The reference's Google Maps actor (google_maps_scraper.py; SURVEY §2.1
+S5) lands place coordinates; the queries a review-corpus pipeline runs
+over them are proximity joins. Coordinates here are derived
+deterministically from the TPC-H keys via the engine-portable
+md5-uniform (operators/curation.py idiom) confined to a 40-60°N /
+-10-30°E box, so the DuckDB oracle regenerates the identical geometry
+and the whole join — binning, haversine, argmin — is value-attested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from backend_etl_spark.catalog.registry import register
+from backend_etl_spark.operators import geo
+from backend_etl_spark.operators.curation import md5_uniform
+from backend_etl_spark.session import tune
+from backend_etl_spark.sources.loader import load_table
+
+# the study box: lat in [40, 60), lon in [-10, 30) — max |lat| 60° fixes
+# the worst-case cos for longitude cell coverage
+_LAT0, _LAT_SPAN = 40.0, 20.0
+_LON0, _LON_SPAN = -10.0, 40.0
+_CELL_DEG = 2.5
+_RADIUS_KM = 250.0
+
+
+def _coords(df: DataFrame, key: str, tag: str) -> DataFrame:
+    """Deterministic (lat, lon) from a key column: two independent
+    md5-uniforms scaled into the study box, rounded to 6 decimals so
+    both engines start from bit-identical geometry."""
+    k = F.col(key).cast("string")
+    lat = F.round(
+        F.lit(_LAT0)
+        + F.lit(_LAT_SPAN) * md5_uniform(F.concat(F.lit(f"{tag}lat#"), k)),
+        6,
+    )
+    lon = F.round(
+        F.lit(_LON0)
+        + F.lit(_LON_SPAN) * md5_uniform(F.concat(F.lit(f"{tag}lon#"), k)),
+        6,
+    )
+    return df.select(F.col(key), lat.alias("lat"), lon.alias("lon"))
+
+
+def _coord_sql(key: str, tag: str, axis: str) -> str:
+    lo, span = (_LAT0, _LAT_SPAN) if axis == "lat" else (_LON0, _LON_SPAN)
+    u = (
+        f"(('0x' || substr(md5('{tag}{axis}#' || CAST({key} AS VARCHAR)),"
+        f" 1, 8))::BIGINT / 4294967296.0)"
+    )
+    return f"round({lo} + {span} * {u}, 6)"
+
+
+_GEO_ORACLE = f"""
+    WITH cu AS (SELECT c_custkey,
+                       {_coord_sql("c_custkey", "c", "lat")} AS lat,
+                       {_coord_sql("c_custkey", "c", "lon")} AS lon
+                FROM customer),
+    su AS (SELECT s_suppkey,
+                  {_coord_sql("s_suppkey", "s", "lat")} AS b_lat,
+                  {_coord_sql("s_suppkey", "s", "lon")} AS b_lon
+           FROM supplier),
+    d AS (SELECT c_custkey, s_suppkey,
+                 round(2 * {geo.EARTH_RADIUS_KM} * asin(sqrt(
+                     pow(sin(radians(b_lat - lat) / 2), 2)
+                     + cos(radians(lat)) * cos(radians(b_lat))
+                       * pow(sin(radians(b_lon - lon) / 2), 2))), 4)
+                   AS dist_km
+          FROM cu CROSS JOIN su),
+    f AS (SELECT * FROM d WHERE dist_km <= {_RADIUS_KM})
+    SELECT c_custkey, s_suppkey, dist_km,
+           CAST(n_within AS BIGINT) AS n_within
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY c_custkey
+                                    ORDER BY dist_km, s_suppkey) AS rn,
+                 count(*) OVER (PARTITION BY c_custkey) AS n_within
+          FROM f)
+    WHERE rn = 1
+"""
+
+
+@register("geo_nearest_supplier_binned", oracle=_GEO_ORACLE)
+def geo_nearest_supplier_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius nearest-neighbor spatial join: for every customer,
+    the closest supplier within 250 km (haversine), plus how many are in
+    range — the grid-bin join from operators/geo.py. Cell size 2.5°:
+    latitude needs ±1 cell (2.5° = 278 km ≥ 250), longitude ±2 at the
+    band's worst-case cos(60°) (2 cells = 278 km ≥ 250) — so the 15-cell
+    neighborhood PROVABLY covers the radius and the post-join haversine
+    filter makes semantics exact; binning only bounds candidates.
+
+    The oracle computes the same relation by brute-force cross join —
+    the binned plan must match it value-for-value, which is precisely
+    the claim that binning loses no pairs.
+
+    Scale shape: the supplier side explodes 15× and broadcasts; the
+    customer side stays map-only (two floor()s for its own cell). At
+    100 TB-of-points both sides bin; the join is then an equi-join on
+    cell — shuffle bounded by cell population, never points², with the
+    same exactness argument. Window argmin is per-customer (keyed)."""
+    tune(spark)
+    cust = _coords(load_table(spark, sf_dir, "customer"), "c_custkey", "c")
+    supp = _coords(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "s"
+    ).withColumnsRenamed({"lat": "b_lat", "lon": "b_lon"})
+    pairs = geo.within_radius_join(
+        cust,
+        supp,
+        radius_km=_RADIUS_KM,
+        cell_deg=_CELL_DEG,
+        lat0=_LAT0,
+        lon0=_LON0,
+        max_abs_lat_deg=_LAT0 + _LAT_SPAN,
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    wc = Window.partitionBy("c_custkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_within", F.count("*").over(wc).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "dist_km", "n_within")
+    )
