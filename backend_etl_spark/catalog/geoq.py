@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from backend_etl_spark.catalog.registry import register
 from backend_etl_spark.operators import geo
@@ -103,7 +102,11 @@ def geo_nearest_supplier_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer side stays map-only (two floor()s for its own cell). At
     100 TB-of-points both sides bin; the join is then an equi-join on
     cell — shuffle bounded by cell population, never points², with the
-    same exactness argument. Window argmin is per-customer (keyed)."""
+    same exactness argument. The per-customer argmin is ONE aggregation
+    — min over (dist, suppkey) structs (field-wise struct ordering =
+    the ORDER BY dist, suppkey tiebreak) — which partial-aggregates
+    map-side, unlike a window, so only one candidate row per customer
+    per partition reaches the shuffle."""
     tune(spark)
     cust = _coords(load_table(spark, sf_dir, "customer"), "c_custkey", "c")
     supp = _coords(
@@ -118,11 +121,16 @@ def geo_nearest_supplier_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         lon0=_LON0,
         max_abs_lat_deg=_LAT0 + _LAT_SPAN,
     )
-    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
-    wc = Window.partitionBy("c_custkey")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_within", F.count("*").over(wc).cast("bigint"))
-        .where(F.col("rn") == 1)
-        .select("c_custkey", "s_suppkey", "dist_km", "n_within")
+        pairs.groupBy("c_custkey")
+        .agg(
+            F.min(F.struct("dist_km", "s_suppkey")).alias("m"),
+            F.count("*").cast("bigint").alias("n_within"),
+        )
+        .select(
+            "c_custkey",
+            F.col("m.s_suppkey").alias("s_suppkey"),
+            F.col("m.dist_km").alias("dist_km"),
+            "n_within",
+        )
     )

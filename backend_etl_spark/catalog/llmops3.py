@@ -333,8 +333,11 @@ def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, lists, ckpt = f"{base_dir}/src", f"{base_dir}/lists", f"{base_dir}/ckpt"
     # the initial build: base corpus encoded and persisted once
     sink.write_idempotent(encode(base), lists, ["vec_id"], partition_cols=["cluster"])
-    # incoming vectors as a multi-file stream with the first 40 redelivered
-    inc.repartition(4).write.mode("overwrite").parquet(src)
+    # incoming vectors as a multi-file stream with the first 40 redelivered;
+    # 2 files + the redelivery file at 2 files/trigger = 2 real micro-batches
+    # (multi-batch + at-least-once properties intact at half the per-batch
+    # fixed cost — each batch pays an anti-join probe of the lists table)
+    inc.repartition(2).write.mode("overwrite").parquet(src)
     inc.orderBy("vec_id").limit(40).write.mode("append").parquet(src)
 
     def _append(batch: DataFrame, batch_id: int) -> None:
@@ -344,7 +347,7 @@ def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (
         spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .writeStream.foreachBatch(_append)
         .option("checkpointLocation", ckpt)
