@@ -863,3 +863,280 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_BRANCH_K = 20
+_RRF_OUT_K = 5
+#: three queries: per-query sparse terms, dense vector = embedding[qid]
+_RRF_QUERIES = [(0, "hash"), (0, "join"), (1, "scan"), (1, "filter"),
+                (2, "spark"), (2, "stream")]
+
+_RRF_ORACLE = f"""
+    WITH qt AS (SELECT * FROM (VALUES
+        {", ".join(f"({q}, '{t}')" for q, t in _RRF_QUERIES)}) v(qid, term)),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+              FROM documents),
+    tf AS (SELECT qt.qid, t.doc_id, t.term, count(*) AS tf
+           FROM toks t JOIN qt USING (term) GROUP BY qt.qid, t.doc_id, t.term),
+    dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+              GROUP BY term),
+    idf AS (SELECT term,
+                   round(ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
+                     AS idf
+            FROM dfreq CROSS JOIN stats),
+    sparse AS (
+      SELECT tf.qid, tf.doc_id,
+             sum(round(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * dl.dl / stats.avgdl)), 6)) AS bm25
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.qid, tf.doc_id),
+    sr AS (SELECT qid, doc_id, rn AS sparse_rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY round(bm25, 6) DESC, doc_id) AS rn
+                 FROM sparse)
+           WHERE rn <= {_RRF_BRANCH_K}),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+    dense AS (
+      SELECT qid, e.vec_id AS doc_id,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM qv, e WHERE e.vec_id != qid),
+    dr AS (SELECT qid, doc_id, rn AS dense_rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cosine DESC, doc_id) AS rn
+                 FROM dense)
+           WHERE rn <= {_RRF_BRANCH_K}),
+    fused AS (
+      SELECT coalesce(sr.qid, dr.qid) AS qid,
+             coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({_RRF_K} + sr.sparse_rank), 0)
+                   + coalesce(1.0 / ({_RRF_K} + dr.dense_rank), 0), 6) AS rrf,
+             CAST(coalesce(sr.sparse_rank, 0) AS BIGINT) AS sparse_rank,
+             CAST(coalesce(dr.dense_rank, 0) AS BIGINT) AS dense_rank
+      FROM sr FULL OUTER JOIN dr
+        ON sr.qid = dr.qid AND sr.doc_id = dr.doc_id)
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf, sparse_rank, dense_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= {_RRF_OUT_K}
+"""
+
+
+@register("rag_hybrid_rrf_fusion", oracle=_RRF_ORACLE)
+def rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (the production RAG default): a sparse BM25
+    branch and a dense cosine branch, each producing a per-query top-20,
+    fused by Reciprocal Rank Fusion — score = Σ 1/(60 + rank), the
+    rank-only combiner that needs no score normalization between
+    incomparable scales (Cormack, Clarke & Buettcher 2009). Three
+    queries run at once: per-query term sets on the sparse side, the
+    query's own embedding on the dense side (doc_id ≡ vec_id in the
+    fixture corpus); a doc missing from one branch contributes 0 from
+    it. Emits the fused top-5 per query with both branch ranks (0 =
+    absent from that branch's top-20).
+
+    Scale shape: every window is keyed by qid; the sparse branch joins
+    postings against the broadcast query-term table before any
+    aggregation (as text_bm25_ranking); the dense branch is the
+    broadcast-queries map-only cosine pass (as knn_brute_force_cosine);
+    the fusion itself is a (qid, doc_id) equi-join of two ≤|Q|·20-row
+    relations — broadcast-sized by construction."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from backend_etl_spark.functions.scalars import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = spark.createDataFrame(_RRF_QUERIES, ["qid", "term"])
+
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    matched = toks.join(F.broadcast(qt), "term")
+    tf = matched.groupBy("qid", "doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    k1, b = _BM25_K1, _BM25_B
+    per_term = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    sparse = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(per_term), 6).alias("bm25"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sr = (
+        sparse.withColumn("sparse_rank", F.row_number().over(ws))
+        .where(F.col("sparse_rank") <= _RRF_BRANCH_K)
+        .select("qid", "doc_id", "sparse_rank")
+    )
+
+    dbl = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), dbl.alias("v"))
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), dbl.alias("qv")
+    )
+    from backend_etl_spark.catalog.llmops2 import _cosine
+
+    dense = (
+        corpus.crossJoin(F.broadcast(qv))
+        .where(F.col("doc_id") != F.col("qid"))
+        .select("qid", "doc_id", _cosine(F.col("qv"), F.col("v")).alias("cosine"))
+    )
+    wd = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    dr = (
+        dense.withColumn("dense_rank", F.row_number().over(wd))
+        .where(F.col("dense_rank") <= _RRF_BRANCH_K)
+        .select("qid", "doc_id", "dense_rank")
+    )
+
+    fused = (
+        sr.join(dr, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("sparse_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.coalesce(F.col("sparse_rank"), F.lit(0))
+            .cast("bigint")
+            .alias("sparse_rank"),
+            F.coalesce(F.col("dense_rank"), F.lit(0))
+            .cast("bigint")
+            .alias("dense_rank"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= _RRF_OUT_K)
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            "doc_id",
+            "rrf",
+            "sparse_rank",
+            "dense_rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-band curation (percentile selection per source)
+# ---------------------------------------------------------------------------
+
+_BAND_LO, _BAND_HI = 0.25, 0.75
+
+_QBAND_ORACLE = f"""
+    WITH nn AS (SELECT doc_id, source, {{norm}} AS norm FROM documents),
+    c AS (SELECT doc_id, source,
+                 list_sort(list_filter(string_split(norm, ''), x -> x <> '')) AS srt
+          FROM nn),
+    m AS (SELECT doc_id, source, srt, len(srt) AS n,
+                 list_filter(range(len(srt)),
+                             i -> i = 0 OR srt[i+1] <> srt[i]) AS bounds
+          FROM c),
+    r AS (SELECT doc_id, source, n,
+                 list_transform(range(len(bounds)),
+                                j -> coalesce(bounds[j+2], n) - bounds[j+1]) AS runs
+          FROM m),
+    ent AS (SELECT doc_id, source,
+                   round(log2(CAST(n AS DOUBLE))
+                         - list_sum(list_transform(runs,
+                               rr -> CAST(rr AS DOUBLE) * log2(CAST(rr AS DOUBLE))))
+                           / CAST(n AS DOUBLE), 4) + 0.0 AS ent
+            FROM r WHERE n > 0),
+    pr AS (SELECT doc_id, source, ent,
+                  round(percent_rank() OVER (PARTITION BY source
+                                             ORDER BY ent), 6) AS pr
+           FROM ent)
+    SELECT doc_id, source, ent, pr,
+           pr >= {_BAND_LO} AND pr <= {_BAND_HI} AS keep
+    FROM pr
+"""
+
+
+@register("curation_quality_band", oracle=None)  # patched below (_NORM)
+def curation_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-BAND quality selection (the DataComp-LM observation:
+    the best pretraining data is the MIDDLE of the quality distribution
+    — the top is boilerplate-clean but low-diversity, the bottom is
+    gibberish): per SOURCE, keep documents whose char-entropy
+    percent_rank falls in [0.25, 0.75]. Per-source ranking matters —
+    a global band would let one clean source crowd out another's middle.
+
+    Engine parity: entropy is the attested quality_char_entropy
+    expression (rounded 4); percent_rank uses RANK semantics so docs
+    with equal rounded entropy share a percentile in both engines —
+    no tiebreak ordering is needed for determinism. Empty docs (n=0,
+    NULL entropy) are excluded before ranking: Spark and DuckDB default
+    NULL ordering differ, so they must never reach the window.
+
+    Scale shape: entropy is map-only; the only shuffle is the keyed
+    per-source window (the same partitioning the downstream per-source
+    mixture steps reuse). Output is the full per-doc relation with the
+    keep decision, so the band is auditable, not just applied."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from backend_etl_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    ent = (
+        textops.char_entropy(docs)
+        .where(F.col("n_chars_norm") > 0)
+        .select("doc_id", F.col("char_entropy_bits").alias("ent"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy("ent")
+    pr = F.round(F.percent_rank().over(w), 6)
+    return ent.select(
+        "doc_id",
+        "source",
+        "ent",
+        pr.alias("pr"),
+        ((pr >= _BAND_LO) & (pr <= _BAND_HI)).alias("keep"),
+    )
+
+
+from backend_etl_spark.catalog.llmops import _NORM as _NORM_SQL  # noqa: E402
+from backend_etl_spark.catalog.registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["curation_quality_band"].oracle = _QBAND_ORACLE.format(norm=_NORM_SQL)

@@ -412,3 +412,61 @@ class TestBM25:
             for r in m.text_bm25_ranking(spark, d).collect()
         }
         assert out[2] > out[1], out
+
+
+class TestHybridRRF:
+    def test_fusion_properties(self, spark, sf_dir):
+        from backend_etl_spark.catalog import REGISTRY
+        from backend_etl_spark.catalog.llmops3 import _RRF_K, _RRF_OUT_K
+
+        rows = REGISTRY["rag_hybrid_rrf_fusion"].fn(spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for qid, rs in by_q.items():
+            assert len(rs) == _RRF_OUT_K
+            # rrf bounds: one branch at best rank 1 -> 1/61; both -> 2/61
+            for r in rs:
+                assert 0 < r["rrf"] <= 2 / (_RRF_K + 1) + 1e-9
+                assert (r["sparse_rank"] > 0) or (r["dense_rank"] > 0)
+            # a doc in BOTH branches' top lists must beat a doc seen at
+            # the same rank in only one
+            both = [r for r in rs if r["sparse_rank"] and r["dense_rank"]]
+            if both:
+                assert max(r["rrf"] for r in rs) == max(
+                    r["rrf"] for r in both
+                ) or both[0]["rrf"] >= 1 / (_RRF_K + _RRF_OUT_K)
+
+    def test_rank_only_no_score_scale_dependence(self):
+        # RRF is invariant to any monotone rescaling of branch scores:
+        # fusing ranks, not scores, is the whole point (Cormack 2009)
+        def rrf(ranks, k=60):
+            return sum(1.0 / (k + r) for r in ranks)
+
+        assert rrf([1, 2]) > rrf([1]) > rrf([2]) > rrf([20])
+
+
+class TestQualityBand:
+    def test_band_is_middle_per_source(self, spark, sf_dir):
+        from backend_etl_spark.catalog import REGISTRY
+
+        rows = REGISTRY["curation_quality_band"].fn(spark, sf_dir).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, rs in by_src.items():
+            kept = [r for r in rs if r["keep"]]
+            dropped_lo = [r for r in rs if not r["keep"] and r["pr"] < 0.25]
+            dropped_hi = [r for r in rs if not r["keep"] and r["pr"] > 0.75]
+            assert len(kept) + len(dropped_lo) + len(dropped_hi) == len(rs)
+            if kept and dropped_lo:
+                assert min(r["ent"] for r in kept) >= max(
+                    r["ent"] for r in dropped_lo
+                )
+            if kept and dropped_hi:
+                assert max(r["ent"] for r in kept) <= min(
+                    r["ent"] for r in dropped_hi
+                )
+            # the band keeps roughly the middle half
+            assert 0.3 <= len(kept) / len(rs) <= 0.7
