@@ -1505,3 +1505,65 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "gdpr_forget_partition_sweep",
+    oracle="""
+    SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE user_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def gdpr_forget_partition_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN sweep on a partitioned lake: tombstoned
+    users (user_id % 97 = 0 plays the deletion-request list) are purged
+    from an events table hive-partitioned on a user-hash bucket — and
+    ONLY the partitions that actually contain a tombstoned user are
+    rewritten (spark.sql.sources.partitionOverwriteMode=dynamic: the
+    overwrite replaces exactly the partitions present in the written
+    frame). Unaffected partition files are untouched on disk —
+    tests/test_plan_quality.py asserts their file listing is byte-stable
+    across the sweep while affected partitions change.
+
+    The swept slice is localCheckpoint()ed before the write because it
+    reads the same path it overwrites (the read-overwrite conflict every
+    in-place sweep hits); at 100 TB the same job runs per-bucket with
+    the deletion list broadcast — cost scales with AFFECTED partitions,
+    never the table (16 buckets here; thousands in production means a
+    0.1% deletion list touches ~0.1% of bytes).
+
+    The returned relation re-reads the table post-sweep: it must equal
+    the oracle's 'events minus tombstoned users' — deletions complete,
+    collateral loss zero."""
+    from backend_etl_spark.operators.partitioning import forget_partitioned
+    from backend_etl_spark.sources.loader import staging_dir
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 16).cast("bigint")
+    )
+    root = staging_dir("layout", "events_gdpr")
+    ev.write.mode("overwrite").partitionBy("bucket").parquet(root)
+
+    tombstones = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    forget_partitioned(spark, root, tombstones, "user_id", "bucket")
+
+    return (
+        spark.read.parquet(root)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

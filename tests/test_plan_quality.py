@@ -543,3 +543,57 @@ def test_mergeschema_read_is_superset_with_null_backfill(spark, sf_dir):
     n_v1 = v1_only.count()
     assert merged.where(F.col("channel").isNull()).count() == n_v1
     assert merged.count() == n_v1 + spark.read.parquet(f"{root}/day=2").count()
+
+
+def test_gdpr_sweep_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
+    """The sweep's cost claim, measured at the filesystem level: after
+    the dynamic-partition-overwrite purge, unaffected bucket directories
+    keep the IDENTICAL file set (names + sizes + mtimes — never opened,
+    never rewritten), affected ones change, and no tombstoned user
+    survives anywhere."""
+    import glob
+    import os
+
+    from backend_etl_spark.operators.partitioning import forget_partitioned
+    from backend_etl_spark.sources.loader import load_table
+
+    root = str(tmp_path / "events_gdpr")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 16).cast("bigint")
+    )
+    tombstones = (
+        ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    tomb_buckets = {
+        r[0]
+        for r in tombstones.select((F.col("user_id") % 16).cast("bigint"))
+        .distinct()
+        .collect()
+    }
+    assert tomb_buckets, "fixture must tombstone at least one bucket"
+    ev.write.mode("overwrite").partitionBy("bucket").parquet(root)
+
+    def listing():
+        out = {}
+        for d in glob.glob(f"{root}/bucket=*"):
+            b = int(d.rsplit("=", 1)[1])
+            out[b] = sorted(
+                (os.path.basename(f), os.path.getsize(f), os.path.getmtime(f))
+                for f in glob.glob(f"{d}/part-*")
+            )
+        return out
+
+    before = listing()
+    forget_partitioned(spark, root, tombstones, "user_id", "bucket")
+    after = listing()
+
+    for b in set(before) | set(after):
+        if b in tomb_buckets:
+            assert before.get(b) != after.get(b), f"bucket {b} not swept"
+        else:
+            assert before[b] == after[b], f"bucket {b} was rewritten"
+    swept = spark.read.parquet(root)
+    assert swept.where(F.col("user_id") % 97 == 0).count() == 0
+    # collateral-loss check: every non-tombstoned row survived
+    n_expected = ev.where(F.col("user_id") % 97 != 0).count()
+    assert swept.count() == n_expected
