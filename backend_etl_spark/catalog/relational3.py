@@ -696,3 +696,135 @@ def graph_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("pagerank"),
         F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("out_degree"),
     )
+
+
+_EWMA_DECAY = 0.7  # weight on an observation 1 hour older
+_EWMA_WIN = 24  # strictly-preceding hours in the baseline
+
+
+@register(
+    "timeseries_ewma_anomaly",
+    oracle=f"""
+    WITH ev AS (SELECT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+                FROM events),
+    hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                            TIMESTAMP '2024-01-30 23:00:00',
+                                            INTERVAL 1 HOUR)) AS h),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    agg AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+    dense AS (SELECT t.event_type, hours.h AS hour,
+                     CAST(coalesce(a.n, 0) AS BIGINT) AS n
+              FROM types t CROSS JOIN hours
+              LEFT JOIN agg a ON a.event_type = t.event_type
+                             AND a.h = hours.h),
+    contrib AS (
+      SELECT d.event_type, d.hour + to_hours(k.k) AS hour,
+             CAST(round(d.n * pow({_EWMA_DECAY}, k.k - 1), 6)
+                  AS DECIMAL(18, 6)) AS term
+      FROM dense d, range(1, {_EWMA_WIN} + 1) k(k)),
+    base AS (
+      SELECT event_type, hour,
+             sum(term) AS s, count(*) AS cnt
+      FROM contrib GROUP BY 1, 2),
+    j AS (
+      SELECT d.event_type, d.hour, d.n,
+             CASE WHEN b.cnt > 0 THEN
+               round(CAST(b.s AS DOUBLE) * (1.0 - {_EWMA_DECAY})
+                     / (1.0 - pow({_EWMA_DECAY}, b.cnt)), 4)
+             END AS ewma
+      FROM dense d
+      LEFT JOIN base b ON b.event_type = d.event_type AND b.hour = d.hour)
+    SELECT event_type, hour, n AS n_events, ewma,
+           coalesce(n > greatest(2.0 * ewma, 4.0), false) AS spike
+    FROM j
+    """,
+)
+def timeseries_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike detection over the dense hourly series: each
+    (event_type, hour) cell is scored against an exponentially-weighted
+    baseline of its 24 STRICTLY-PRECEDING hours (decay 0.7/h,
+    normalized over the weights actually present, so the series head
+    isn't biased toward 0), and flagged when the count exceeds
+    max(2x baseline, 4) — the ops-monitoring primitive behind ingest
+    anomaly alerts.
+
+    Shape: the trailing weighted window is NOT a collect_list lambda or
+    a range join — each dense cell EXPLODES its 24 future (hour+k)
+    contribution keys with weight decay^(k-1) (map-only), and one
+    equi-join groupBy folds contributions per target cell. Weighted
+    terms are rounded to 6 dp and summed as exact DECIMAL, so the
+    baseline is independent of float summation order (the established
+    engine-portability idiom); the geometric normalizer uses the closed
+    form (1-d^cnt)/(1-d) off the integer contribution count. All keys
+    carry event_type — every shuffle is keyed, nothing global."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    grid = F.broadcast(types).crossJoin(F.broadcast(hours))
+    dense = grid.join(
+        agg,
+        (grid["event_type"] == agg["event_type"]) & (agg["h"] == grid["hour"]),
+        "left",
+    ).select(
+        grid["event_type"],
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+    d = float(_EWMA_DECAY)
+    contrib = dense.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("hour") + F.expr(f"INTERVAL {k} HOURS")).alias(
+                            "hour"
+                        ),
+                        F.round(F.col("n") * F.lit(d ** (k - 1)), 6)
+                        .cast("decimal(18,6)")
+                        .alias("term"),
+                    )
+                    for k in range(1, _EWMA_WIN + 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("event_type", "c.hour", "c.term")
+    base = contrib.groupBy("event_type", "hour").agg(
+        F.sum("term").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    ewma = F.when(
+        F.col("cnt") > 0,
+        F.round(
+            F.col("s").cast("double")
+            * (1.0 - d)
+            / (1.0 - F.pow(F.lit(d), F.col("cnt"))),
+            4,
+        ),
+    )
+    return (
+        dense.join(base, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").alias("n_events"),
+            ewma.alias("ewma"),
+            F.coalesce(
+                F.col("n")
+                > F.greatest(2.0 * ewma, F.lit(4.0)),
+                F.lit(False),
+            ).alias("spike"),
+        )
+    )

