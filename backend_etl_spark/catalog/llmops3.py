@@ -623,8 +623,15 @@ from backend_etl_spark.operators.textops import QCLF_BUCKETS  # noqa: E402
                (a, b) -> a + b) AS wsum
       FROM toks WHERE len(t) > 0)
     SELECT doc_id, n_tokens,
-           round(wsum / (10.0 * n_tokens), 6) AS quality_logit,
-           round(1.0 / (1.0 + exp(-round(wsum / (10.0 * n_tokens), 6))), 4)
+           -- floor-quantization instead of round(): round() rounds the
+           -- decimal SHORTEST-STRING half-up in Spark but the binary
+           -- double in DuckDB, and wsum/(10n) can land EXACTLY on a
+           -- 7th-digit-5 midpoint (n=64, wsum=41 -> 0.0640625), where
+           -- the two modes split. floor/(+0.5) uses only correctly-
+           -- rounded IEEE ops, so identical inputs give identical bits
+           floor(wsum * 100000.0 / n_tokens + 0.5) / 1e6 AS quality_logit,
+           round(1.0 / (1.0 + exp(-(floor(wsum * 100000.0 / n_tokens + 0.5)
+                                    / 1e6))), 4)
              AS quality_score,
            wsum >= 0 AS keep
     FROM scored

@@ -518,15 +518,23 @@ def hashed_linear_quality(
         lambda acc, t: acc + _qclf_weight_tenths(bucket(t)),
     )
     n = F.size(toks).cast("bigint")
-    logit = F.col("wsum") / (10.0 * F.col("n_tokens"))
+    # quantize the logit by floor(x*1e6 + 0.5)/1e6, NOT F.round(x, 6):
+    # Spark's round() half-ups the decimal shortest-string while DuckDB
+    # rounds the binary double, and wsum/(10n) lands EXACTLY on decimal
+    # midpoints (n=64, wsum=41 -> 0.0640625) where the modes disagree.
+    # floor/+0.5 is correctly-rounded IEEE arithmetic end to end, so
+    # both engines produce identical bits from identical integers.
+    logit_q = (
+        F.floor(F.col("wsum") * 100000.0 / F.col("n_tokens") + 0.5) / 1e6
+    )
     return (
         df.select(F.col(id_col), n.alias("n_tokens"), wsum.alias("wsum"))
         .where(F.col("n_tokens") > 0)
         .select(
             id_col,
             "n_tokens",
-            F.round(logit, 6).alias("quality_logit"),
-            F.round(1.0 / (1.0 + F.exp(-F.round(logit, 6))), 4).alias(
+            logit_q.alias("quality_logit"),
+            F.round(1.0 / (1.0 + F.exp(-logit_q)), 4).alias(
                 "quality_score"
             ),
             (F.col("wsum") >= 0).alias("keep"),
