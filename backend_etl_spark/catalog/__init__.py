@@ -7,6 +7,7 @@ from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
     llmops,
     llmops2,
     llmops3,
+    modernq,
     nested,
     relational,
     relational2,

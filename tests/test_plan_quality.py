@@ -159,6 +159,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert quality.num_shuffles(plain) == 2
 
 
+def test_colocated_join_entry_subtree_is_exchange_free(spark, sf_dir):
+    """The catalog entry layout_bucketed_colocated_join's join subtree
+    (both fact sides bucketed on the join key, SMJ forced) must contain
+    ZERO Exchange and a SortMergeJoin — the attested twin of the
+    test-only proof above; the entry's single remaining shuffle is the
+    3-group final aggregate."""
+    from backend_etl_spark.catalog.modernq import colocated_join
+
+    j = colocated_join(spark, sf_dir)
+    text = quality.plan_text(j)
+    assert quality.num_shuffles(j) == 0, text
+    assert "SortMergeJoin" in text, text
+    entry = REGISTRY["layout_bucketed_colocated_join"].fn(spark, sf_dir)
+    assert quality.num_shuffles(entry) <= 1, quality.plan_text(entry)
+
+
 def test_bucketed_sessionize_has_zero_shuffles(spark, sf_dir):
     """Round-4 item 7: the bucketed-layout sessionize plan must contain
     NO Exchange — the window's partitionBy(user_id) and the final
