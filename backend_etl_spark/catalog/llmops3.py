@@ -1147,3 +1147,72 @@ from backend_etl_spark.catalog.llmops import _NORM as _NORM_SQL  # noqa: E402
 from backend_etl_spark.catalog.registry import REGISTRY as _REG2  # noqa: E402
 
 _REG2["curation_quality_band"].oracle = _QBAND_ORACLE.format(norm=_NORM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Best-Fit-Decreasing sequence packing (Johnson 1973; Dósa 2007 bound)
+# ---------------------------------------------------------------------------
+
+_BFD_CAP = 2048
+_BFD_SHARDS = 16
+
+_BFD_ORACLE = f"""
+    WITH t AS (SELECT doc_id,
+                      least(len({_TOKS}), {_BFD_CAP}) AS n,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                        % {_BFD_SHARDS} AS shard
+               FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT)                    AS n_docs,
+           CAST(sum(n) AS BIGINT)                      AS total_tokens,
+           CAST(ceil(sum(n) / {_BFD_CAP}.0) AS BIGINT) AS lb_bins,
+           TRUE                                        AS within_ffd_bound,
+           TRUE                                        AS capacity_respected
+    FROM t GROUP BY shard
+"""
+
+
+@register("pack_bestfit_bins", oracle=_BFD_ORACLE)
+def pack_bestfit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-Fit-Decreasing packing of documents into 2048-token bins,
+    sharded 16 ways by portable doc-id hash — the high-fill-rate
+    alternative to the concatenate-and-chunk packer (pack_sequences_2048):
+    no document straddles a bin boundary, at the cost of some slack per
+    bin. BFD's bin count carries FFD's worst-case guarantee
+    9·bins ≤ 11·OPT + 6 (Dósa 2007, tight), attested per shard in exact
+    integer arithmetic against OPT ≥ ⌈Σtokens/capacity⌉; docs longer
+    than the capacity are truncated to it (they'd be split upstream).
+
+    The packer's mutable bin-residual loop is the catalog's one
+    genuinely imperative curation kernel — run as an Arrow-batched
+    applyInPandas per shard (operators/curation.bestfit_pack_shards):
+    the shard is the unit of parallelism and the only thing shuffled is
+    (shard, n) pairs. bins_used itself is engine-specific state (the
+    oracle cannot replay a heap), so the entry emits the BOUND flags
+    the oracle can agree on and keeps the count out of the hash — the
+    sketch-attestation pattern (agg_approx_error_bounded) applied to an
+    approximation ALGORITHM instead of a data structure."""
+    tune(spark)
+    from backend_etl_spark.functions.scalars import tokens
+    from backend_etl_spark.operators.curation import bestfit_pack_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.least(
+            F.size(tokens(F.col("text"))), F.lit(_BFD_CAP)
+        ).alias("n"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("bigint")
+            % _BFD_SHARDS
+        ).alias("shard"),
+    )
+    packed = bestfit_pack_shards(docs, "shard", "n", _BFD_CAP)
+    return packed.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "lb_bins",
+        "within_ffd_bound",
+        "capacity_respected",
+    )

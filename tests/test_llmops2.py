@@ -512,3 +512,31 @@ class TestEwmaAnomaly:
             direct = sum(_EWMA_DECAY ** (k - 1) for k in range(1, n + 1))
             closed = (1 - _EWMA_DECAY**n) / (1 - _EWMA_DECAY)
             assert abs(direct - closed) < 1e-12
+
+
+class TestBestFitPacking:
+    def test_bfd_beats_arrival_order_and_respects_bound(self, spark):
+        # shard 0, cap 16: sizes 9,8,7,6,1,1 — BFD packs [9,7],[8,6,1,1]
+        # = 2 bins = lb = OPT, while first-fit in arrival order
+        # 9,1,8,1,7,6 would need 3; pins the descending sort + best-fit
+        # placement (a plain first-fit-decreasing run differs on other
+        # instances, e.g. 10,7,5,4,3,3 where BFD itself needs lb+1)
+        from backend_etl_spark.operators.curation import bestfit_pack_shards
+
+        rows = [(0, i, s) for i, s in enumerate([9, 8, 7, 6, 1, 1])]
+        df = spark.createDataFrame(rows, "shard bigint, doc_id bigint, n bigint")
+        out = bestfit_pack_shards(df, "shard", "n", 16).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.total_tokens == 32 and r.lb_bins == 2
+        assert r.bins_used == 2  # BFD reaches the lower bound here
+        assert r.within_ffd_bound and r.capacity_respected
+
+    def test_zero_size_items_open_no_bin(self, spark):
+        from backend_etl_spark.operators.curation import bestfit_pack_shards
+
+        df = spark.createDataFrame(
+            [(1, 1, 0), (1, 2, 0)], "shard bigint, doc_id bigint, n bigint"
+        )
+        r = bestfit_pack_shards(df, "shard", "n", 16).collect()[0]
+        assert r.bins_used == 0 and r.lb_bins == 0 and r.within_ffd_bound
