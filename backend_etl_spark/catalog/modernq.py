@@ -228,3 +228,76 @@ def layout_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
             "revenue"
         ),
     )
+
+
+_HLL_STREAM_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_3rse
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("streaming_hll_blob_merge", oracle=_HLL_STREAM_ORACLE)
+def streaming_hll_blob_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-day-sketch-blob pattern end to end: events arrive as a
+    multi-batch availableNow file stream; each micro-batch aggregates
+    its slice into per-group DataSketches HLL BINARY blobs inside
+    foreachBatch (batch_id-keyed overwrite — checkpoint replay rewrites
+    the same blobs, never double-merges); the serving side folds all
+    persisted blobs with `hll_union_agg` and never re-reads the event
+    stream. The merged estimate is attested within 3·RSE of the exact
+    distinct count (the bounded pattern — sketch state is
+    engine-specific).
+
+    The streaming twin of sketch_hll_datasketches_bounded, and the HLL
+    counterpart of streaming_sketch_cms_merge: counts fold by summing
+    cells, distincts fold by register max — at 100 TB/day the live
+    distinct-users table reads n_batches·n_groups KB-sized blobs, not
+    the raw feed. Restart safety mirrors the CMS entry; at-least-once
+    source redelivery is harmless here by construction — re-observing a
+    value is an HLL no-op (register max is idempotent), the property
+    that makes HLL the right sketch under at-least-once delivery."""
+    from backend_etl_spark.sources.loader import scratch_dir
+
+    tune(spark)
+    base = scratch_dir("hll-stream")
+    src, blobs, ckpt = f"{base}/src", f"{base}/blobs", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _partial(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id", _HLL_LGK).alias("sk"))
+            .write.mode("overwrite")
+            .parquet(f"{blobs}/batch={batch_id}")
+        )
+
+    (
+        spark.readStream.schema("event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    merged = (
+        spark.read.parquet(blobs)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    exact_d = F.col("exact_users").cast("double")
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("merged_est") - exact_d) / exact_d < 3 * _HLL_RSE).alias(
+            "merged_within_3rse"
+        ),
+    )
