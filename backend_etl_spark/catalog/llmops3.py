@@ -1158,16 +1158,18 @@ _BFD_SHARDS = 16
 
 _BFD_ORACLE = f"""
     WITH t AS (SELECT doc_id,
-                      least(len({_TOKS}), {_BFD_CAP}) AS n,
+                      least(coalesce(len({_TOKS}), 0), {_BFD_CAP}) AS n,
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                         % {_BFD_SHARDS} AS shard
                FROM documents)
     SELECT shard,
-           CAST(count(*) AS BIGINT)                    AS n_docs,
-           CAST(sum(n) AS BIGINT)                      AS total_tokens,
-           CAST(ceil(sum(n) / {_BFD_CAP}.0) AS BIGINT) AS lb_bins,
-           TRUE                                        AS within_ffd_bound,
-           TRUE                                        AS capacity_respected
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT)   AS total_tokens,
+           CAST(greatest(ceil(sum(n) / {_BFD_CAP}.0),
+                         sum(CASE WHEN 2 * n > {_BFD_CAP} THEN 1 ELSE 0 END))
+                AS BIGINT)          AS lb_bins,
+           TRUE                     AS within_ffd_bound,
+           TRUE                     AS capacity_respected
     FROM t GROUP BY shard
 """
 
@@ -1180,8 +1182,11 @@ def pack_bestfit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     no document straddles a bin boundary, at the cost of some slack per
     bin. BFD's bin count carries FFD's worst-case guarantee
     9·bins ≤ 11·OPT + 6 (Dósa 2007, tight), attested per shard in exact
-    integer arithmetic against OPT ≥ ⌈Σtokens/capacity⌉; docs longer
-    than the capacity are truncated to it (they'd be split upstream).
+    integer arithmetic against the lower bound
+    LB = max(⌈Σtokens/capacity⌉, #{docs with 2·tokens > capacity}) ≤ OPT
+    (see operators/curation.bestfit_pack_shards for why the big-item
+    term is needed); docs longer than the capacity are truncated to it
+    (they'd be split upstream).
 
     The packer's mutable bin-residual loop is the catalog's one
     genuinely imperative curation kernel — run as an Arrow-batched
@@ -1198,8 +1203,15 @@ def pack_bestfit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id"),
+        # NULL text → 0 tokens on BOTH engines (Spark size() on a NULL
+        # array is NULL/-1 depending on legacy conf; DuckDB len() is
+        # NULL, which least() would ignore and sum() would drop):
+        # greatest(coalesce(...), 0) pins every engine to 0
         F.least(
-            F.size(tokens(F.col("text"))), F.lit(_BFD_CAP)
+            F.greatest(
+                F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)), F.lit(0)
+            ),
+            F.lit(_BFD_CAP),
         ).alias("n"),
         (
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)

@@ -223,8 +223,14 @@ def bestfit_pack_shards(
     open bin with the LEAST remaining space that still fits (new bin
     otherwise). Returns one summary row per shard with the bin count
     and the Dósa (2007) FFD guarantee — BFD shares it — checked in
-    exact integer arithmetic: 9·bins ≤ 11·OPT + 6, with OPT lower-
-    bounded by ⌈Σsize / capacity⌉.
+    exact integer arithmetic: 9·bins ≤ 11·LB + 6, where LB =
+    max(⌈Σsize / capacity⌉, #{items with 2·size > capacity}) ≤ OPT
+    (big items pairwise cannot share a bin). Because the check runs
+    against a computable lower bound rather than OPT itself, True
+    soundly implies the Dósa bound vs OPT holds; adversarial inputs
+    where OPT exceeds both LB terms could flag False without BFD
+    actually violating its guarantee — the attested statement is the
+    (stronger, data-dependent) LB inequality.
 
     This is the one curation operator whose inner loop is genuinely
     imperative (bin residual state mutates per item), so it is the
@@ -262,7 +268,8 @@ def bestfit_pack_shards(
                 r = capacity - s
             bisect.insort(residuals, r)
         total = int(pdf[size_col].sum())
-        lb = -(-total // capacity)  # ceil
+        n_big = sum(1 for s in sizes if 2 * s > capacity)
+        lb = max(-(-total // capacity), n_big)  # ceil(sum/cap) vs big-item count
         bins_used = len(residuals)
         return pd.DataFrame(
             {

@@ -78,14 +78,27 @@ def radius_cover(
     radius_km: float, cell_deg: float, max_abs_lat_deg: float
 ) -> tuple[int, int]:
     """(dx_range, dy_range) such that the neighbor grid provably covers
-    every point within radius_km: latitude degrees are constant-width;
-    longitude degrees shrink by cos(lat), so the x-range widens by the
-    band's worst case."""
+    every point within radius_km, for ANY parameterization (not just the
+    catalog's 250 km / 2.5° config).
+
+    Latitude degrees are constant-width. Longitude needs the exact span:
+    at latitude phi the great-circle radius R reaches dlam =
+    2*asin(sin(R/2Re)/cos(phi)) of longitude (inverse haversine with
+    dphi=0) — strictly larger than the planar R/(111.19*cos(phi))
+    approximation, which under-covered near its boundary. Both ranges
+    use floor+1 instead of ceil so an exact-integer cell span still
+    keeps a strictly positive slack cell, and the radius is padded by
+    1e-3 km to absorb the join's round-to-4-dp of dist_km before the
+    <= radius filter."""
     import math
 
-    dy = math.ceil(radius_km / (KM_PER_DEG * cell_deg))
-    worst_cos = math.cos(math.radians(max_abs_lat_deg))
-    dx = math.ceil(radius_km / (KM_PER_DEG * worst_cos * cell_deg))
+    r = radius_km + 1e-3  # swallow the 4-dp dist rounding at the boundary
+    dy = math.floor(r / (KM_PER_DEG * cell_deg)) + 1
+    s = math.sin(r / (2.0 * EARTH_RADIUS_KM)) / math.cos(
+        math.radians(max_abs_lat_deg)
+    )
+    dlon_deg = 180.0 if s >= 1.0 else math.degrees(2.0 * math.asin(s))
+    dx = min(math.floor(dlon_deg / cell_deg) + 1, math.ceil(180.0 / cell_deg))
     return dx, dy
 
 

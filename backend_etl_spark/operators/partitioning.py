@@ -51,7 +51,18 @@ def forget_partitioned(
 
     Cost scales with affected partitions, never table size: a 0.1%
     deletion list on a 1000-partition 100 TB table touches ~0.1% of
-    bytes."""
+    bytes.
+
+    Caveats (deliberate, documented): ``root`` must be a LOCAL
+    filesystem path (the emptied-directory cleanup uses shutil; on
+    object storage you'd route it through the store's delete API), and
+    the rewrite is NOT crash-atomic — dynamic partition overwrite
+    replaces each affected partition's files in place, so a crash
+    mid-write can leave an affected partition partially rewritten.
+    Production GDPR deletion should run this against a table format
+    with atomic commits (Iceberg/Delta) or stage-and-swap the affected
+    partition directories; the plan shape (touch only affected
+    partitions) is the part that carries to 100 TB."""
     import shutil
 
     tomb = tombstones.select(key_col).distinct()
@@ -65,6 +76,8 @@ def forget_partitioned(
         .distinct()
         .collect()
     }
+    if not affected:  # nothing to forget: leave the table untouched
+        return
     survivors = (
         table.where(F.col(partition_col).isin(*affected))
         .join(F.broadcast(tomb), key_col, "left_anti")
