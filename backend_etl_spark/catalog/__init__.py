@@ -18,13 +18,14 @@ from backend_etl_spark.catalog import (  # noqa: F401  (register side effects)
 from backend_etl_spark.catalog.registry import REGISTRY, QuerySpec
 
 # Entries the driver attested green (hash-match) in some CORRECTNESS_r*.json
-# (union of hash_match rows across r01–r04; regenerate with
+# (union of hash_match rows across r01–r05; regenerate with
 # scripts/attested.py). The driver samples a fixed-size prefix of queries()
 # each round, so we rotate: never-attested entries first (registry order
 # preserved within each group) until every entry has a driver-verified
-# correctness row. agg_approx_count_distinct is deliberately NOT listed —
-# it was rows-only (err: no_oracle) in r01; with the r4 bounded-error
-# companion it re-enters the sample for value-level attestation.
+# correctness row. As of r6 the only never-attested entry is
+# agg_approx_count_distinct — rows-only through r5, restructured in r6 to
+# the bounded-error attestation pattern so it can finally hash-match; it
+# fronts the sample until its green row lands (then the catalog is 200/200).
 _DRIVER_ATTESTED = frozenset({
     "agg_approx_error_bounded", "agg_approx_quantile_bounded",
     "agg_corr_covar", "agg_cube_orders", "agg_distinct_customers_per_status",
@@ -34,66 +35,81 @@ _DRIVER_ATTESTED = frozenset({
     "array_agg_event_types", "array_setops_token_halves",
     "asof_forward_next_click", "asof_purchase_last_click",
     "bpe_encode_tokens", "bpe_train_merges", "bucketed_sessionize_events",
-    "catalog_table_inventory", "corpus_drift_kl",
+    "catalog_table_inventory", "cdc_snapshot_diff", "corpus_drift_kl",
+    "corpus_dsir_weights", "corpus_pipeline_funnel",
     "curation_deterministic_sample", "curation_length_band_filter",
-    "curation_stratified_sample", "curation_temperature_resample",
-    "curation_token_budget_pack", "curation_weighted_sample",
+    "curation_quality_band", "curation_stratified_sample",
+    "curation_temperature_resample", "curation_token_budget_pack",
+    "curation_unimax_mixture", "curation_weighted_sample",
     "dataset_card_stats", "date_functions_showcase",
-    "decontam_ngram_overlap", "dedup_cluster_components",
-    "dedup_embedding_cosine_pairs", "dedup_exact_docs",
-    "dedup_incremental_snapshot", "dedup_lsh_candidates",
+    "decontam_ngram_overlap", "decontam_semantic",
+    "dedup_cluster_components", "dedup_embedding_cosine_pairs",
+    "dedup_exact_docs", "dedup_incremental_snapshot",
+    "dedup_keep_best_in_cluster", "dedup_lsh_candidates",
     "dedup_minhash_signatures", "dedup_ngram_jaccard",
     "dedup_passage_windows", "dedup_semantic_semdedup", "dedup_simhash",
-    "doc_fingerprint", "doc_rolling_hash", "dq_validation_checks",
-    "emb_matryoshka_truncate", "emb_pq_codes", "emb_quantize_int8",
-    "embedding_norms", "events_funnel_conversion", "events_json_props",
+    "dedup_substring_cut", "dedup_substring_spans", "doc_fingerprint",
+    "doc_rolling_hash", "dq_validation_checks", "emb_matryoshka_truncate",
+    "emb_pq_codes", "emb_quantize_int8", "embedding_norms",
+    "events_funnel_conversion", "events_json_props",
     "events_retention_cohorts", "explode_tokens_top20",
-    "facebook_nested_fixture", "gmaps_projection_fixture",
+    "facebook_nested_fixture", "gdpr_forget_partition_sweep",
+    "geo_nearest_supplier_binned", "gmaps_projection_fixture",
     "graph_pagerank_users", "grouped_zscore_events",
     "higher_order_array_ops", "histogram_order_prices", "html_parse_feefo",
     "html_parse_trustpilot", "incremental_watermark_scan",
-    "ingest_dedup_anti_join", "join_anti_customers_without_orders",
-    "join_bloom_runtime_filter", "join_full_outer_nation_presence",
-    "join_null_safe_eq", "join_outer_customer_order_stats",
-    "join_region_revenue", "join_semi_customers_with_f_orders",
-    "kmeans_assignments", "kmeans_cluster_profile", "knn_brute_force_cosine",
-    "knn_ivf_kmeans", "knn_ivf_label_pruned", "knn_ivf_multiprobe",
-    "knn_ivf_recall_at_3", "knn_ivfpq_adc", "knn_ivfpq_recall",
-    "knn_ivfpq_rerank", "knn_ivfpq_residual", "knn_lsh_bucketed",
+    "ingest_dedup_anti_join", "instagram_flatten_fixture",
+    "join_anti_customers_without_orders", "join_bloom_runtime_filter",
+    "join_full_outer_nation_presence", "join_null_safe_eq",
+    "join_outer_customer_order_stats", "join_region_revenue",
+    "join_semi_customers_with_f_orders", "kmeans_assignments",
+    "kmeans_cluster_profile", "knn_brute_force_cosine",
+    "knn_cosine_range_search", "knn_ivf_kmeans", "knn_ivf_label_pruned",
+    "knn_ivf_multiprobe", "knn_ivf_recall_at_3", "knn_ivfpq_adc",
+    "knn_ivfpq_build_persisted", "knn_ivfpq_recall", "knn_ivfpq_rerank",
+    "knn_ivfpq_residual", "knn_ivfpq_search_persisted", "knn_lsh_bucketed",
     "knn_lsh_recall_at_5", "knn_pq_adc", "lang_id_heuristic",
+    "layout_bucketed_colocated_join", "layout_compact_small_files",
     "layout_zorder_key", "linkedin_struct_fixture", "map_ops_event_attrs",
     "multimodal_audio_chunks", "multimodal_binary_meta",
     "multimodal_decode_ppm", "multimodal_decode_wav",
     "multimodal_fake_embed", "multimodal_frame_sample", "multimodal_resize",
     "nested_struct_first_match", "orders_monthly_volume",
-    "pack_sequences_2048", "partitioned_ship_year_revenue",
-    "pii_scrub_customers", "pivot_status_counts", "q10_returned_items",
-    "q12_priority_split", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_pushdown",
-    "q1_pricing_summary", "q21_waiting_orders",
+    "pack_bestfit_bins", "pack_sequences_2048",
+    "partitioned_ship_year_revenue", "pii_scrub_customers",
+    "pivot_status_counts", "q10_returned_items", "q12_priority_split",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_pushdown", "q1_pricing_summary", "q21_waiting_orders",
     "q22_global_sales_opportunity", "q3_shipping_priority",
     "q4_priority_with_late_lines", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "quality_bigram_logprob", "quality_char_entropy",
-    "quality_trigram_backoff", "range_join_binned_global",
+    "quality_linear_classifier", "quality_trigram_backoff",
+    "rag_hybrid_rrf_fusion", "range_join_binned_global",
     "range_join_clicks_before_purchase", "rollup_multigrain_events",
     "scalar_function_showcase", "scd2_user_value_history",
-    "sentiment_lexicon", "session_window_builtin",
-    "setop_except_all_priorities", "setop_except_no_f_orders",
-    "setop_intersect_f_and_o_customers", "sketch_count_min_bounded",
-    "skew_salted_agg_events", "split_leakage_safe", "streaming_dedup_drain",
-    "streaming_incremental_dedup", "streaming_purchase_click_join",
+    "schema_evolution_mergeschema", "sentiment_lexicon",
+    "session_window_builtin", "setop_except_all_priorities",
+    "setop_except_no_f_orders", "setop_intersect_f_and_o_customers",
+    "sketch_count_min_bounded", "sketch_hll_datasketches_bounded",
+    "sketch_loglog_distinct_portable", "sketch_loglog_merge_union",
+    "skew_salted_agg_events", "skew_salted_join_hot_user",
+    "split_leakage_safe", "streaming_dedup_drain",
+    "streaming_hll_blob_merge", "streaming_incremental_dedup",
+    "streaming_ivfpq_index_append", "streaming_purchase_click_join",
     "streaming_sessionize_stateful", "streaming_sketch_cms_merge",
-    "streaming_static_enrich", "streaming_topk_trending",
-    "streaming_windowed_counts", "string_functions_showcase",
-    "subquery_exists_active_suppliers", "subquery_in_recent_buyers",
-    "subquery_not_in_null_trap", "subquery_scalar_above_avg", "text_quality",
+    "streaming_sketch_topk_fused", "streaming_static_enrich",
+    "streaming_topk_trending", "streaming_windowed_counts",
+    "string_functions_showcase", "subquery_exists_active_suppliers",
+    "subquery_in_recent_buyers", "subquery_not_in_null_trap",
+    "subquery_scalar_above_avg", "text_bm25_ranking", "text_quality",
     "text_rag_chunks", "text_repetition_metrics", "text_stats",
     "text_token_budget", "tfidf_top_terms", "time_bucket_hourly_events",
-    "timeseries_gap_fill_hourly", "topk_orders_by_price", "ts_parse_formats",
-    "twitter_union_three_shapes", "union_by_name_mentions",
-    "union_dedup_two_feeds", "unpivot_reaction_counts",
+    "timeseries_ewma_anomaly", "timeseries_gap_fill_hourly",
+    "topk_orders_by_price", "ts_parse_formats", "twitter_union_three_shapes",
+    "union_by_name_mentions", "union_dedup_two_feeds",
+    "unpivot_reaction_counts", "variant_events_extract",
     "window_first_last_nth", "window_lag_value_delta",
     "window_range_frame_30d", "window_rank_family", "window_running_revenue",
     "window_sessionize_events", "window_top3_orders_per_customer",

@@ -11,7 +11,7 @@ pattern, SURVEY §2.7 J1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -388,18 +388,51 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
-@register("agg_approx_count_distinct")  # engine-specific sketch → rows-only check
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_3rsd_fine,
+           TRUE AS within_3rsd_coarse
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate. Sketches differ across engines,
-    so this entry has no value-hash oracle (driver records a rows-only
-    check); value-level attestation lives in the companion entry
-    agg_approx_error_bounded, which turns the sketch's published error
-    bound into an exact boolean both engines agree on."""
+    """HyperLogLog++ distinct-user estimate per event type, at two
+    precision settings (rsd 0.01 dense-register and 0.05 coarse).
+
+    The raw sketch estimate is engine-opaque (Spark's HLL++ and
+    DuckDB's HLL produce different values), so the estimate itself
+    cannot be value-hashed cross-engine; for 5 rounds this entry was
+    the catalog's only rows-only check. Restructured to the house
+    bounded-error attestation pattern (agg_approx_error_bounded,
+    pack_bestfit_bins): the hashed output is the EXACT distinct count —
+    SQL-expressible on both engines — plus per-group booleans asserting
+    |approx − exact| / exact < 3·rsd for each precision. The sketch
+    still runs only Spark-side; a broken sketch now surfaces as a hash
+    mismatch instead of hiding behind a rows-only row."""
     tune(spark)
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("fine"),
+            F.approx_count_distinct("user_id", 0.05).alias("coarse"),
+        )
+    )
+    exact = F.col("exact_users").cast("double")
+
+    def within(est: str, rsd: float) -> Column:
+        return (F.abs(F.col(est) - F.col("exact_users")) / exact) < 3 * rsd
+
+    return g.select(
+        "event_type",
+        "exact_users",
+        within("fine", 0.01).alias("within_3rsd_fine"),
+        within("coarse", 0.05).alias("within_3rsd_coarse"),
     )
 
 
