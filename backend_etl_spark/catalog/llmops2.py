@@ -899,9 +899,8 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF).alias("embedding"),
         ),
     }
-    cents = {}
-    for s, df in sub.items():
-        cents[s] = clustering.kmeans_fit(df, k=_PQ_K, iters=_PQ_ITERS)
+    cents = clustering.kmeans_fit_multi(sub, k=_PQ_K, iters=_PQ_ITERS)
+    for s in cents:
         assert len(next(iter(cents[s].values()))) == _PQ_HALF, (
             "fixture embedding dim changed; update _PQ_DIM and the oracle"
         )
@@ -1093,12 +1092,11 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     from backend_etl_spark.operators.clustering import _dist2, _as_double
 
-    codebooks = {
-        s: clustering.kmeans_fit(
-            emb.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
-        )
-        for s, sl in halves.items()
-    }
+    codebooks = clustering.kmeans_fit_multi(
+        {s: emb.select("vec_id", sl.alias("embedding")) for s, sl in halves.items()},
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
     # single-pass encode (both subspace argmins in one map-only select —
     # no corpus-wide vec_id join between the subspaces)
     coded = emb.select(
@@ -1192,12 +1190,11 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str):
     }
     from backend_etl_spark.operators.clustering import _as_double, _dist2
 
-    codebooks = {
-        s: clustering.kmeans_fit(
-            emb.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
-        )
-        for s, sl in halves.items()
-    }
+    codebooks = clustering.kmeans_fit_multi(
+        {s: emb.select("vec_id", sl.alias("embedding")) for s, sl in halves.items()},
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
     # single-pass encode: coarse + both subspace argmins in ONE map-only
     # select — the per-subspace assign-then-join-on-vec_id this replaces
     # shuffles the full corpus once per subspace at scale
@@ -2343,12 +2340,11 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         0: F.slice("embedding", 1, _PQ_HALF),
         1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
     }
-    codebooks = {
-        s: clustering.kmeans_fit(
-            resid.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
-        )
-        for s, sl in halves.items()
-    }
+    codebooks = clustering.kmeans_fit_multi(
+        {s: resid.select("vec_id", sl.alias("embedding")) for s, sl in halves.items()},
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
     # single-pass residual encode: both subspace argmins in one map-only
     # select over resid (no corpus-wide vec_id joins)
     index = resid.select(

@@ -306,12 +306,11 @@ def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         0: F.slice("embedding", 1, _PQ_HALF),
         1: F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF),
     }
-    codebooks = {
-        s: clustering.kmeans_fit(
-            base.select("vec_id", sl.alias("embedding")), k=_PQ_K, iters=_PQ_ITERS
-        )
-        for s, sl in halves.items()
-    }
+    codebooks = clustering.kmeans_fit_multi(
+        {s: base.select("vec_id", sl.alias("embedding")) for s, sl in halves.items()},
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
 
     def encode(df: DataFrame) -> DataFrame:
         # single-pass: coarse + both subspace argmins in one map-only

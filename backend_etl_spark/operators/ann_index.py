@@ -52,18 +52,18 @@ def build_ivfpq_index(
     if path in _BUILT:
         return path
     half = dim // 2
-    spark = emb.sparkSession
     coarse = clustering.kmeans_fit(emb, k=km_k, iters=km_iters)
     halves = {
         0: F.slice("embedding", 1, half),
         1: F.slice("embedding", half + 1, dim - half),
     }
-    codebooks: dict[int, dict[int, list[float]]] = {
-        s: clustering.kmeans_fit(
-            emb.select("vec_id", sl.alias("embedding")), k=pq_k, iters=pq_iters
-        )
-        for s, sl in halves.items()
-    }
+    # both subspace quantizers train lock-step: one driver job per
+    # phase for the pair instead of per subspace (numerics identical)
+    codebooks: dict[int, dict[int, list[float]]] = clustering.kmeans_fit_multi(
+        {s: emb.select("vec_id", sl.alias("embedding")) for s, sl in halves.items()},
+        k=pq_k,
+        iters=pq_iters,
+    )
     # SINGLE-PASS encode: all three argmins in one map-only select — a
     # per-subspace assign-then-join-on-vec_id would shuffle the full
     # corpus once per subspace
@@ -94,13 +94,26 @@ def build_ivfpq_index(
         for s in sorted(codebooks)
         for cid, cv in sorted(codebooks[s].items())
     ]
-    (
-        spark.createDataFrame(
-            cent_rows, "kind string, cid int, cv array<double>"
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "centroids"))
+    # the centroid table is DRIVER-resident k×dim data; a
+    # spark.createDataFrame round-trip costs ~5 s of pickle-path setup
+    # for 16 rows, so write the parquet directly with pyarrow (Spark
+    # reads it back identically — doubles round-trip exactly)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cdir = os.path.join(path, "centroids")
+    os.makedirs(cdir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "kind": [r[0] for r in cent_rows],
+                "cid": pa.array([r[1] for r in cent_rows], type=pa.int32()),
+                "cv": pa.array(
+                    [r[2] for r in cent_rows], type=pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(cdir, "part-0.parquet"),
     )
     _BUILT[path] = path
     return path
