@@ -20,6 +20,7 @@ from backend_etl_spark.catalog.llmops import _TOKS
 from backend_etl_spark.catalog.registry import register
 from backend_etl_spark.session import tune
 from backend_etl_spark.sources.loader import load_table
+from backend_etl_spark.streaming import drain_conf
 
 _UNIMAX_BUDGET_FRAC = 0.5  # sample budget = half the corpus tokens
 _UNIMAX_MAX_EPOCHS = 2.0  # no source repeats more than twice
@@ -344,16 +345,17 @@ def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode(batch), lists, ["vec_id"], partition_cols=["cluster"]
         )
 
-    (
-        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src)
-        .writeStream.foreachBatch(_append)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return (
         spark.read.parquet(lists)
         .groupBy(F.col("cluster").cast("int").alias("cluster"))

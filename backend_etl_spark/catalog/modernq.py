@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from backend_etl_spark.catalog.registry import register
 from backend_etl_spark.session import tune
 from backend_etl_spark.sources.loader import load_table
+from backend_etl_spark.streaming import drain_conf
 
 # ---------------------------------------------------------------------------
 # VARIANT semi-structured extraction
@@ -275,16 +276,17 @@ def streaming_hll_blob_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{blobs}/batch={batch_id}")
         )
 
-    (
-        spark.readStream.schema("event_type STRING, user_id BIGINT")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_partial)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            spark.readStream.schema("event_type STRING, user_id BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     merged = (
         spark.read.parquet(blobs)
         .groupBy("event_type")

@@ -20,6 +20,7 @@ from backend_etl_spark.catalog.registry import register
 from backend_etl_spark.operators import sketch
 from backend_etl_spark.session import tune
 from backend_etl_spark.sources.loader import load_table
+from backend_etl_spark.streaming import drain_conf
 
 _CMS_D = 4
 _CMS_W = 64  # deliberately narrow so collisions are visible at test SFs
@@ -142,16 +143,17 @@ def streaming_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = sketch.cms_build(batch, F.col("k"), _CMS_D, _CMS_W)
         cells.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
-    (
-        spark.readStream.schema("k STRING")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_partial)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            spark.readStream.schema("k STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     merged = (
         spark.read.parquet(sink)
         .groupBy("r", "c")
@@ -236,16 +238,17 @@ def streaming_sketch_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{cand_p}/batch={batch_id}"
         )
 
-    (
-        spark.readStream.schema("k STRING")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_partial)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            spark.readStream.schema("k STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     merged = spark.read.parquet(cells_p).groupBy("r", "c").agg(
         F.sum("cnt").alias("cnt")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from backend_etl_spark.pipeline import _mentions_projection
 from backend_etl_spark.sink import write_idempotent
+from backend_etl_spark.streaming import drain_conf
 
 EVENTS_DDL = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
@@ -44,13 +45,14 @@ def stream_events_to_sink(
     def _sink(batch: DataFrame, batch_id: int) -> None:
         write_idempotent(_mentions_projection(batch), sink_path, ["mention_id"])
 
-    (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
@@ -107,10 +109,11 @@ def stream_dedup_against_corpus(
         out = dedup.incremental_lsh_matches(bsig, corpus_sigs, "doc_id")
         write_idempotent(out, sink_path, ["batch_doc_id"])
 
-    (
-        stream.writeStream.foreachBatch(_probe)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            stream.writeStream.foreachBatch(_probe)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )

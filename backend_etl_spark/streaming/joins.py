@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from backend_etl_spark.sources.loader import load_table
 from backend_etl_spark.streaming.windowed import read_events_stream
+from backend_etl_spark.streaming import drain_conf
 
 
 def run_purchase_click_attribution(
@@ -70,15 +71,16 @@ def run_purchase_click_attribution(
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
-    (
-        joined.writeStream.format("parquet")
-        .option("path", sink_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            joined.writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def run_stream_static_enrich(
@@ -101,12 +103,13 @@ def run_stream_static_enrich(
     enriched = ev.join(F.broadcast(dim), "user_id", "inner").select(
         "event_id", "user_id", "c_mktsegment", "value"
     )
-    (
-        enriched.writeStream.format("parquet")
-        .option("path", sink_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            enriched.writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )

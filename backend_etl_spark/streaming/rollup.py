@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_etl_spark.streaming.windowed import read_events_stream
+from backend_etl_spark.streaming import drain_conf
 
 GRAINS = ("hour", "day", "month")
 
@@ -94,14 +95,15 @@ def maintain_rollup(
             return  # replayed batch (recovery): already folded in
         _merge_into(rollup_path, _partial_rollup(batch), batch_id)
 
-    (
-        read_events_stream(spark, source_dir)
-        .writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            read_events_stream(spark, source_dir)
+            .writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from backend_etl_spark.streaming import drain_conf
 
 GAP_US = 1800 * 1000 * 1000  # 30-min inactivity gap, same as the batch query
 
@@ -99,15 +100,16 @@ def run_sessionize(
     from backend_etl_spark.streaming.windowed import read_events_stream
 
     sessions = sessionize_stream(read_events_stream(spark, source_dir))
-    (
-        sessions.writeStream.format("parquet")
-        .option("path", sink_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            sessions.writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def stage_events_with_sentinels(spark, sf_dir: str, out_dir: str) -> None:

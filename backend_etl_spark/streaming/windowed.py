@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_etl_spark.sources.loader import load_table
+from backend_etl_spark.streaming import drain_conf
 
 EVENTS_DDL = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
@@ -85,14 +86,15 @@ def run_windowed_counts(
     def _overwrite(batch: DataFrame, _batch_id: int) -> None:
         batch.write.mode("overwrite").parquet(sink_path)
 
-    (
-        agg.writeStream.foreachBatch(_overwrite)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            agg.writeStream.foreachBatch(_overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def run_dedup_within_watermark(
@@ -115,15 +117,16 @@ def run_dedup_within_watermark(
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    (
-        deduped.writeStream.format("parquet")
-        .option("path", sink_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def run_topk_trending(
@@ -163,11 +166,12 @@ def run_topk_trending(
             .parquet(sink_path)
         )
 
-    (
-        agg.writeStream.foreachBatch(_rank_overwrite)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with drain_conf(spark):
+        (
+            agg.writeStream.foreachBatch(_rank_overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
