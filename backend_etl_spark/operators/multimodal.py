@@ -6,12 +6,14 @@ as Arrow-batched pandas functions over ``mapInPandas`` so each executor
 processes columnar batches, never Python-per-row.
 
 Decode coverage is honest about the environment: ``decode_image``
-REALLY parses binary PPM (P6) and ``decode_audio`` REALLY parses PCM
-WAV (stdlib only — the codec-free formats), exercised end-to-end by
-``decode_image_meta`` / ``decode_audio_meta``; JPEG/PNG/mp4 need
-libraries absent here, so ``decode_video`` stays a NotImplementedError
-stub and ``binary_meta`` keeps the deterministic stand-in path for
-arbitrary payloads. Swapping a real codec in changes no plan shape.
+REALLY parses binary PPM (P6), ``decode_audio`` REALLY parses PCM
+WAV, and ``decode_video`` REALLY walks RIFF/AVI with uncompressed DIB
+frames (stdlib only — the codec-free format of each modality),
+exercised end-to-end by ``decode_image_meta`` / ``decode_audio_meta``
+/ ``decode_video_meta``; JPEG/PNG/mp4/MJPEG need libraries absent
+here, so compressed payloads raise, and ``binary_meta`` keeps the
+deterministic stand-in path for arbitrary payloads. Swapping a real
+codec in changes no plan shape.
 """
 
 from __future__ import annotations
@@ -86,12 +88,63 @@ def decode_audio(payload: bytes) -> dict:
         }
 
 
-def decode_video(payload: bytes):  # pragma: no cover - stub
-    """STUB: real video decode requires ffmpeg/opencv, not present here."""
-    raise NotImplementedError(
-        "video decode is stubbed in this environment; frame_sample() provides "
-        "the deterministic frame-chunking path"
-    )
+def decode_video(payload: bytes) -> dict:
+    """Real video decode for AVI 1.0 (RIFF) carrying UNCOMPRESSED DIB
+    frames ('00db' chunks) — pure Python over the public container
+    spec, no codec libraries: walks the RIFF chunk tree, reads the
+    main header (avih: total frames, width, height) and collects every
+    raw frame's bytes from the movi list.
+
+    This is the codec-free exercise of the video path, same honesty
+    contract as decode_image (PPM) / decode_audio (PCM WAV): compressed
+    streams ('00dc' — MJPEG/h264/...) raise, because their per-frame
+    decode needs libraries absent here; swapping ffmpeg/opencv in
+    changes only this function, never the plan shape."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    width = height = n_frames = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, n_frames
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, data_start + 4, data_start + size)  # skip list type
+            elif cid == b"avih":
+                # dwTotalFrames @ +16, dwWidth @ +32, dwHeight @ +36
+                (n_frames,) = struct.unpack(
+                    "<I", buf[data_start + 16 : data_start + 20]
+                )
+                width, height = struct.unpack(
+                    "<II", buf[data_start + 32 : data_start + 40]
+                )
+            elif cid[2:4] == b"db":  # uncompressed DIB frame
+                frames.append(buf[data_start : data_start + size])
+            elif cid[2:4] == b"dc":  # compressed frame
+                raise ValueError(
+                    "compressed AVI stream (00dc); codec libraries absent here"
+                )
+            pos = data_start + size + (size & 1)  # chunks pad to even
+
+    walk(payload, 12, len(payload))
+    if width is None or n_frames is None:
+        raise ValueError("AVI main header (avih) missing")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"frame count mismatch: avih says {n_frames}, movi has {len(frames)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "frames": frames,
+    }
 
 
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,6 +307,46 @@ def decode_image_meta(
             ])
 
     return df.mapInPandas(_decode, PPM_META_SCHEMA)
+
+
+AVI_META_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_frames bigint, "
+    "n_frame_bytes bigint, sum_frame_bytes bigint, frames_md5 string"
+)
+
+
+def decode_video_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched video decode: BINARY AVI payloads in, typed video
+    metadata + raw-frame statistics out. Every output value depends on
+    ACTUALLY walking the RIFF tree — dimensions/frame count from the
+    avih header, stats from the concatenated raw DIB frame bytes.
+    Map-only: no shuffle, payload bytes never leave the executor."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                vid = decode_video(bytes(payload))
+                raw = b"".join(vid["frames"])
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": vid["width"],
+                        "height": vid["height"],
+                        "n_frames": vid["n_frames"],
+                        "n_frame_bytes": len(raw),
+                        "sum_frame_bytes": sum(raw),
+                        "frames_md5": hashlib.md5(raw.hex().encode()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_frames",
+                "n_frame_bytes", "sum_frame_bytes", "frames_md5",
+            ])
+
+    return df.mapInPandas(_decode, AVI_META_SCHEMA)
 
 
 WAV_META_SCHEMA = (

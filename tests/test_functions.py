@@ -77,22 +77,27 @@ def test_asof_join_literal(spark):
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """The r6 bounded-error restructure: the entry now emits the exact
+    distinct count plus within-3rsd booleans at two precisions; every
+    flag must be True and the exact side must match a direct batch
+    count (the sketch runs only inside the entry)."""
     from backend_etl_spark.catalog import REGISTRY
     from backend_etl_spark.sources.loader import load_table
 
-    approx = {
-        r["o_orderstatus"]: r["approx_customers"]
-        for r in REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+    got = {r["event_type"]: r for r in rows}
     exact = {
-        r["o_orderstatus"]: r["n"]
-        for r in load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.countDistinct("o_custkey").alias("n"))
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(2, 0.05 * v)
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert got[k]["exact_users"] == n
+        assert got[k]["within_3rsd_fine"] is True
+        assert got[k]["within_3rsd_coarse"] is True
 
 
 def test_multimodal_frame_sample_shapes(spark):
@@ -129,19 +134,57 @@ def test_multimodal_fake_embed_deterministic(spark):
 
 
 def test_multimodal_decode_honesty():
-    """decode_video stays a stub (needs absent libraries); decode_image
-    and decode_audio are REAL for the codec-free formats and reject
-    what they can't truly parse."""
+    """decode_image / decode_audio / decode_video are REAL for the
+    codec-free formats (PPM, PCM WAV, DIB-in-AVI) and reject what they
+    can't truly parse (PNG, mp3, compressed AVI streams)."""
     import pytest as _pytest
 
     from backend_etl_spark.operators import multimodal
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_video(b"\x00")
+    with _pytest.raises(ValueError):
+        multimodal.decode_video(b"\x00")  # not RIFF: refuse
     with _pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n")  # PNG needs PIL: refuse
     with _pytest.raises(Exception):
         multimodal.decode_audio(b"ID3\x04mp3data")  # mp3: refuse
+
+
+def _mini_avi(frames: list[bytes], w: int, h: int, chunk_id: bytes = b"00db",
+              declared_frames: int | None = None) -> bytes:
+    """Minimal spec-conformant AVI: RIFF(avih-only hdrl + movi)."""
+    import struct
+
+    n = len(frames) if declared_frames is None else declared_frames
+    avih = struct.pack("<14I", 40000, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi_body = b"".join(
+        chunk_id + struct.pack("<I", len(fr)) + fr + (b"\x00" if len(fr) & 1 else b"")
+        for fr in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_video_real_avi():
+    import pytest as _pytest
+
+    from backend_etl_spark.operators.multimodal import decode_video
+
+    frames = [bytes(range(24)), bytes(range(24, 48))]
+    vid = decode_video(_mini_avi(frames, w=4, h=2))
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (4, 2, 2)
+    assert vid["frames"] == frames
+    # odd-sized chunks must honor the RIFF even-padding rule
+    odd = [b"\x01\x02\x03", b"\x04\x05\x06"]
+    assert decode_video(_mini_avi(odd, w=1, h=1))["frames"] == odd
+    # compressed streams ('00dc') refuse: codec libraries absent
+    with _pytest.raises(ValueError, match="00dc"):
+        decode_video(_mini_avi(frames, w=4, h=2, chunk_id=b"00dc"))
+    # header/movi disagreement is a parse error, not silent truncation
+    with _pytest.raises(ValueError, match="mismatch"):
+        decode_video(_mini_avi(frames, w=4, h=2, declared_frames=3))
 
 
 def test_decode_image_real_ppm():
