@@ -353,7 +353,10 @@ _KM_ITERS = 3
 
 
 def _kmeans_cte(
-    k: int = _KM_K, iters: int = _KM_ITERS, src: str = "embeddings"
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    src: str = "embeddings",
+    k_expr: str | None = None,
 ) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs: c0 seeds → (assign d/a,
     update c) × (iters-1) → final assignment a{iters-1}. Mirrors
@@ -361,14 +364,20 @@ def _kmeans_cte(
     distances (before argmin) and centroid averages (after update),
     tie-break on cluster id. ``src`` lets the fit run over a derived
     relation (e.g. the base slice of an incrementally-maintained index)
-    instead of the raw embeddings table."""
+    instead of the raw embeddings table. ``k_expr`` replaces the literal
+    k with a data-dependent SQL scalar (e.g. ``greatest(8, n // 100)``)
+    for entries whose cluster count must scale with corpus size; the
+    strided-seed semantics are identical (LIMIT k becomes a row_number
+    bound, which DuckDB accepts with a correlated expression)."""
+    ke = k_expr if k_expr is not None else str(k)
     sql = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
-      FROM (SELECT vec_id, v FROM e
-            WHERE vec_id % greatest((SELECT count(*) FROM e) // {k}, 1) = 0
-            ORDER BY vec_id LIMIT {k}))"""
+      FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS seed_rn
+            FROM e
+            WHERE vec_id % greatest((SELECT count(*) FROM e) // ({ke}), 1) = 0)
+      WHERE seed_rn <= ({ke}))"""
     for i in range(iters):
         sql += f""",
     d{i} AS (
@@ -2038,10 +2047,22 @@ _REG2["corpus_pipeline_funnel"].oracle = _FUNNEL_ORACLE.format(
 # ---------------------------------------------------------------------------
 
 
+#: SemDeDup's cluster count scales with corpus size so the average
+#: cluster stays ~_SEM_TARGET vectors: intra-cluster candidate pairs
+#: are then O(n · _SEM_TARGET), linear in the corpus, instead of the
+#: O(n²/k) a FIXED k degrades to (measured: slope 1.97/decade at
+#: sf0.1→sf1 before this change). The assign/fit stage is n·k flops of
+#: map-only JVM codegen — negligible through sf10; past that the
+#: standard answer is a two-level (hierarchical) coarse quantizer, the
+#: same escalation FAISS uses for billion-vector IVF.
+_SEM_TARGET = 100
+_SEM_K_EXPR = f"greatest({_KM_K}, (SELECT count(*) FROM e) // {_SEM_TARGET})"
+
+
 @register(
     "dedup_semantic_semdedup",
     oracle=f"""
-    WITH {_kmeans_cte()},
+    WITH {_kmeans_cte(k_expr=_SEM_K_EXPR)},
     e2 AS (SELECT vec_id, v, cluster FROM {_KM_FINAL}),
     drop AS (
       SELECT DISTINCT y.vec_id AS vb
@@ -2063,28 +2084,30 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup feasible at 100 TB: candidate pairs are O(Σ cluster²), never
     corpus². A vector is dropped when it matches a lower-id
     cluster-mate at cosine ≥ 0.3; the verdict column per vector keeps
-    the relation total (one row per embedding)."""
+    the relation total (one row per embedding). k scales with corpus
+    size (see _SEM_TARGET) so the pair stage stays linear — the paper's
+    own discipline (50k clusters for LAION), re-derived identically in
+    the oracle via a data-dependent seed count."""
     tune(spark)
     from backend_etl_spark.operators import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = clustering.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    # flop-dense stages (k-way argmin, intra-cluster cosines) are sized
+    # to CORES, not bytes: a 20k-row embeddings file is 1-2 input splits
+    # and AQE coalesces the tiny shuffle, so without this the n·k assign
+    # and the pair stage run on 2 threads. At 100 TB the input is
+    # thousands of splits and this repartition is a no-op-sized tax.
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
+    k = max(_KM_K, emb.count() // _SEM_TARGET)
+    cents = clustering.kmeans_fit(emb, k=k, iters=_KM_ITERS)
     e2 = clustering.assign_clusters(emb, cents).select(
         "vec_id", "cluster", similarity.to_double("embedding").alias("v")
     )
-    a = e2.select(
-        F.col("vec_id").alias("va"), F.col("cluster"), F.col("v").alias("xv")
-    )
-    b = e2.select(
-        F.col("vec_id").alias("vb"), F.col("cluster"), F.col("v").alias("yv")
-    )
-    drop = (
-        a.join(b, "cluster")
-        .where(F.col("va") < F.col("vb"))
-        .where(F.round(similarity.cosine(F.col("xv"), F.col("yv")), 6) >= 0.3)
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
+    # intra-cluster pair matrix as ONE applyInPandas pass per cluster
+    # (exact-fold numpy — bit-identical to the oracle's per-pair
+    # list_dot_product; see operators/dedup.intra_cluster_cosine_drops)
+    drop = dedup.intra_cluster_cosine_drops(e2, threshold=0.3).withColumn(
+        "__dropped", F.lit(True)
     )
     return (
         e2.join(drop, "vec_id", "left")

@@ -549,3 +549,61 @@ def cut_substring_spans(
         (F.size("t") - F.size(kept)).cast("bigint").alias("tokens_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def intra_cluster_cosine_drops(
+    e2: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SemDeDup's inner loop as ONE applyInPandas pass: for every
+    cluster, the full intra-cluster cosine matrix, returning the ids
+    that lose to a lower-id cluster-mate at round(cos, 6) >= threshold.
+
+    Numerics are BIT-IDENTICAL to the Catalyst/oracle fold: the dot
+    matrix and the squared norms accumulate SEQUENTIALLY over dims
+    (vectorized across the pair grid, looped over j), so each cell sees
+    exactly the ``(((x1·y1) + x2·y2) + ...)`` IEEE sequence that
+    zip_with/aggregate and DuckDB's list_dot_product produce; cosine =
+    dot/(sqrt(nx)·sqrt(ny)) with the same op order; rounding is
+    floor/ceil(c·1e6 ± 0.5)/1e6 — half-away-from-zero, the semantic the
+    green cross-engine parity already relies on.
+
+    Scale shape: the corpus shuffles ONCE on the cluster id; per-group
+    memory is O(cluster²) doubles, bounded because the caller scales k
+    so clusters average ~_SEM_TARGET vectors (a pathological giant
+    cluster should be split upstream — at 100 TB the standard move is a
+    two-level coarse quantizer, not a bigger pair matrix).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)  # ascending ids: j>i  <=>  id_j > id_i
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        n, dim = X.shape
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        D = np.zeros((n, n))
+        nrm2 = np.zeros(n)
+        for j in range(dim):
+            D += X[:, j, None] * X[None, :, j]
+            nrm2 += X[:, j] * X[:, j]
+        nrm = np.sqrt(nrm2)
+        cos = D / (nrm[:, None] * nrm[None, :])
+        scaled = cos * 1e6
+        cos = (
+            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+            / 1e6
+        )
+        hit = np.triu(cos >= threshold, k=1)  # strictly above diagonal: id_i < id_j
+        dropped = ids[hit.any(axis=0)]
+        return pd.DataFrame({id_col: dropped})
+
+    return e2.select(id_col, cluster_col, vec_col).groupBy(cluster_col).applyInPandas(
+        _drops, schema=f"{id_col} long"
+    )
