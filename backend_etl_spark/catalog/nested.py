@@ -168,23 +168,19 @@ def union_by_name_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, cluster-bucketed: pairs are
-    generated only within the label bucket (linear in bucket size —
-    never an all-pairs crossJoin), kept when rounded cosine ≥ 0.4."""
+    generated only within the label bucket (never an all-pairs
+    crossJoin), kept when rounded cosine ≥ 0.4. The per-bucket pair
+    matrix runs as ONE applyInPandas pass with exact-fold numpy
+    numerics (operators/dedup.intra_bucket_cosine_pairs) — a self-join
+    evaluating the cosine fold interpreted per pair is quadratic
+    wall-clock once fixed-cardinality buckets grow with the corpus."""
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    from backend_etl_spark.operators import dedup
+
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
     e = emb.select("vec_id", "label", similarity.to_double("embedding").alias("v"))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("v").alias("vb")
-    )
-    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
-    sim = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        pairs.select("vec_a", "vec_b", sim.alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= 0.4)
-    )
+    return dedup.intra_bucket_cosine_pairs(e, threshold=0.4)
 
 
 @register(

@@ -607,3 +607,58 @@ def intra_cluster_cosine_drops(
     return e2.select(id_col, cluster_col, vec_col).groupBy(cluster_col).applyInPandas(
         _drops, schema=f"{id_col} long"
     )
+
+
+def intra_bucket_cosine_pairs(
+    e: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """All qualifying cosine pairs within each bucket — the fixed-bucket
+    sibling of intra_cluster_cosine_drops, emitting (vec_a, vec_b,
+    cosine_sim) for rounded cosine >= threshold with vec_a < vec_b.
+
+    Same exact-fold numpy numerics (sequential accumulation over dims,
+    half-away-from-zero 6-dp rounding) as the SemDeDup kernel, so the
+    emitted values are bit-identical to the zip_with/aggregate fold and
+    the oracle's list_dot_product. Per-bucket memory is O(bucket²)
+    doubles — inherent to the entry's all-pairs-within-bucket contract;
+    when buckets grow with the corpus, the scalable operator is the
+    adaptive-k SemDeDup path, not a bigger pair matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        n, dim = X.shape
+        if n < 2:
+            return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0],
+                                 "cosine_sim": np.zeros(0)})
+        D = np.zeros((n, n))
+        nrm2 = np.zeros(n)
+        for j in range(dim):
+            D += X[:, j, None] * X[None, :, j]
+            nrm2 += X[:, j] * X[:, j]
+        nrm = np.sqrt(nrm2)
+        cos = D / (nrm[:, None] * nrm[None, :])
+        scaled = cos * 1e6
+        cos = (
+            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+            / 1e6
+        )
+        ai, bi = np.nonzero(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bi], "cosine_sim": cos[ai, bi]}
+        )
+
+    return (
+        e.select(id_col, bucket_col, vec_col)
+        .groupBy(bucket_col)
+        .applyInPandas(_pairs, schema="vec_a long, vec_b long, cosine_sim double")
+    )
