@@ -231,6 +231,135 @@ def layout_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+from backend_etl_spark.operators import zorder  # noqa: E402
+
+#: 8-bit layout cells per dimension (a LAYOUT granularity, not a
+#: semantic one — values alias into cells at scale and the residual
+#: exact predicate always decides membership)
+_ZMASK = 255
+#: the attested 2-D box: users 2..9 × day-cells 16..31 (events span
+#: Jan 2024 → day-of-epoch & 255 lands in 11..41, and user ids start
+#: at 0, at every SF — so the box is non-empty from sf0.001 up).
+#: Cover literals come from the same spread tables as both engines'
+#: z expressions.
+_ZBOX_U = (2, 9)
+_ZBOX_D = (16, 31)
+_ZLO = zorder.morton_key_py(_ZBOX_U[0], _ZBOX_D[0])
+_ZHI = zorder.morton_key_py(_ZBOX_U[1], _ZBOX_D[1])
+_ZBUCKET_SHIFT = 10
+
+_ZORDER_BUILT: set[str] = set()
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write events in z-order layout once per process: zval =
+    morton2(user_id & MASK, day8), directory-partitioned on the top
+    z bits (zbucket) with each directory's file sorted by zval."""
+    import os
+
+    from backend_etl_spark.sources.loader import staging_dir
+
+    path = staging_dir(
+        "zorder", os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
+    )
+    if path in _ZORDER_BUILT:
+        return path
+    ev = load_table(spark, sf_dir, "events")
+    staged = (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000")
+            .bitwiseAND(F.lit(_ZMASK).cast("bigint"))
+            .alias("day8"),
+        )
+        .withColumn(
+            "zval",
+            zorder.morton_key(
+                F.col("user_id").bitwiseAND(F.lit(_ZMASK).cast("bigint")),
+                F.col("day8"),
+            ),
+        )
+        .withColumn("zbucket", F.shiftright("zval", _ZBUCKET_SHIFT))
+    )
+    (
+        staged.repartition("zbucket")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+    _ZORDER_BUILT.add(path)
+    return path
+
+
+_ZORDER_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000) & {_ZMASK} AS day8
+      FROM events),
+    z AS (
+      SELECT user_id, day8,
+             {zorder.morton_key_sql(f"(user_id & {_ZMASK})", "day8")} AS zval
+      FROM e)
+    SELECT user_id,
+           CAST(day8 AS BIGINT)     AS day8,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(zval) AS BIGINT) AS z_min
+    FROM z
+    WHERE user_id BETWEEN {_ZBOX_U[0]} AND {_ZBOX_U[1]}
+      AND day8 BETWEEN {_ZBOX_D[0]} AND {_ZBOX_D[1]}
+    GROUP BY user_id, day8
+"""
+
+
+@register("layout_zorder_pruned_box", oracle=_ZORDER_ORACLE)
+def layout_zorder_pruned_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-at-rest #5: Z-ORDER clustering (Morton interleave — the
+    technique behind Delta's OPTIMIZE ZORDER BY and UB-trees,
+    operators/zorder.py). events is laid out once in z ranges of
+    (user cell, day cell); a 2-D box query then (1) prunes whole
+    z-range DIRECTORIES via the box's Morton cover on the partition
+    column (PartitionFilters — plan-asserted), (2) skips row groups
+    inside surviving files via the zval min/max stats the z-sort
+    produced, and (3) applies the exact residual box. ONE sort order
+    buys skipping in BOTH dimensions; a user_id-only layout scans
+    every file for a day-bounded query and vice versa.
+
+    The oracle never sees the layout: it runs the plain box query over
+    raw events and recomputes zval from the same bit loop — a
+    hash-match PROVES the Morton cover [morton(ulo,dlo),
+    morton(uhi,dhi)] is a true superset of the box (a dropped row
+    would mismatch), which is the monotonicity-of-interleave argument
+    made executable. At 100 TB this layout is how an events lake
+    serves user×time slices without a secondary index."""
+    tune(spark)
+    path = _zorder_layout(spark, sf_dir)
+    t = spark.read.parquet(path)
+    return (
+        t.where(
+            (F.col("zbucket") >= F.lit(_ZLO >> _ZBUCKET_SHIFT))
+            & (F.col("zbucket") <= F.lit(_ZHI >> _ZBUCKET_SHIFT))
+        )
+        .where(F.col("zval").between(_ZLO, _ZHI))
+        .where(
+            F.col("user_id").between(*_ZBOX_U)
+            & F.col("day8").between(*_ZBOX_D)
+        )
+        .groupBy("user_id", "day8")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("zval").cast("bigint").alias("z_min"),
+        )
+        .select(
+            "user_id",
+            F.col("day8").cast("bigint").alias("day8"),
+            "n_events",
+            "z_min",
+        )
+    )
+
+
 _HLL_STREAM_ORACLE = """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

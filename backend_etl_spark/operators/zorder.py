@@ -53,3 +53,16 @@ def spread16_sql(expr: str) -> str:
 def morton_key_sql(a_expr: str, b_expr: str) -> str:
     """DuckDB twin of ``morton_key``."""
     return f"({spread16_sql(a_expr)} | ({spread16_sql(b_expr)} << 1))"
+
+
+def morton_key_py(a: int, b: int) -> int:
+    """Plain-int twin of ``morton_key`` — for deriving box-cover
+    LITERALS (z is monotone per coordinate, so the Morton cover of a
+    box [ulo..uhi]×[vlo..vhi] is [morton(ulo,vlo), morton(uhi,vhi)])."""
+
+    def spread(x: int) -> int:
+        for shift, mask in _SPREAD_MASKS:
+            x = (x | (x << shift)) & mask
+        return x
+
+    return spread(a) | (spread(b) << 1)

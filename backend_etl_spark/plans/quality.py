@@ -137,3 +137,34 @@ def assert_scale_ready(
             problems.append(f"widest scan reads {max(widths)} cols > {max_scan_columns}")
     if problems:
         raise AssertionError("; ".join(problems) + "\n--- plan ---\n" + plan_text(df))
+
+
+def scanned_files(df: DataFrame) -> int:
+    """Total "number of files read" across the plan's file scans, read
+    from the executed plan's metrics AFTER running the query — the
+    runtime-observable evidence of partition/file pruning.
+    (``Dataset.inputFiles`` lists the PRE-pruning file index and cannot
+    see pruning at all.)"""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+
+    total = 0
+
+    def _walk(node):
+        nonlocal total
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            _walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):  # AQE stage boundary: descend
+            _walk(node.plan())
+            return
+        m = node.metrics()
+        if m.contains("numFiles"):
+            total += m.apply("numFiles").value()
+        ch = node.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i))
+
+    _walk(plan)
+    return int(total)

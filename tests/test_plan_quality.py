@@ -613,3 +613,24 @@ def test_gdpr_sweep_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
     # collateral-loss check: every non-tombstoned row survived
     n_expected = ev.where(F.col("user_id") % 97 != 0).count()
     assert swept.count() == n_expected
+
+
+def test_zorder_layout_prunes_directories_both_dims(spark, sf_dir):
+    """The z-order box query must prune z-range DIRECTORIES via
+    PartitionFilters on zbucket (never a post-scan filter), and the
+    Morton cover must actually skip most of the layout: the files the
+    boxed scan reads are a strict, small subset of the staged table."""
+    import re
+
+    df = REGISTRY["layout_zorder_pruned_box"].fn(spark, sf_dir)
+    text = quality.plan_text(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*zbucket[^\]]*\]", text), text
+
+    from backend_etl_spark.catalog.modernq import _zorder_layout
+
+    root = spark.read.parquet(_zorder_layout(spark, sf_dir))
+    total = quality.scanned_files(root)
+    read = quality.scanned_files(df)  # runtime metric, post-pruning
+    # the Morton cover of the attested box maps to ONE z-range bucket;
+    # 2-D skipping must drop at least half the layout at any SF
+    assert 0 < read <= total / 2, (read, total)
