@@ -251,7 +251,13 @@ def jaccard_pairs(
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
     inter = (
+        # merge hint: the candidate-pair side GROWS with near-dup group
+        # sizes (Σ bucket² of the LSH buckets) while the planner's
+        # through-join estimate of it stays tiny — left to itself Spark
+        # auto-broadcasts it and a 1 GB driver dies at sf1 (3.8M pairs).
+        # Candidates must shuffle like the fact side it is.
         candidates.select("doc_a", "doc_b")
+        .hint("merge")
         .join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
@@ -260,7 +266,8 @@ def jaccard_pairs(
     size_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     size_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        inter.join(size_a, "doc_a")
+        inter.hint("merge")  # same growth argument as the candidates side
+        .join(size_a, "doc_a")
         .join(size_b, "doc_b")
         .select(
             "doc_a",

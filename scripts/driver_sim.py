@@ -7,6 +7,7 @@ SparkSession (no engine tuning) — exactly how the driver calls us.
 Usage: python scripts/driver_sim.py [sf_dir]
 """
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -21,8 +22,15 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# vanilla session: the driver does NOT apply our tuned confs
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+# vanilla session: the driver does NOT apply our tuned confs.
+# DRIVER_SIM_MEMORY sizes the single local JVM for big local SFs (sf1's
+# 6M-row tables don't fit Spark's 1g default local heap) — it changes
+# capacity only, never query semantics.
+_mem = os.environ.get("DRIVER_SIM_MEMORY")
+_b = SparkSession.builder.master("local[8]").appName("driver-sim")
+if _mem:
+    _b = _b.config("spark.driver.memory", _mem)
+spark = _b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 df = contract.entry(spark)
