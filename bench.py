@@ -97,6 +97,11 @@ def main() -> None:
             if isinstance(prev.get(n), (int, float))
             and prev[n] > 0
             and t / prev[n] > 1.3
+            # absolute floor: sub-second queries jitter >1.3x from
+            # scheduler noise alone (61 flags in one r6 run, every solo
+            # at-or-below previous) — only a move that also costs real
+            # wall-clock deserves a solo re-run
+            and t - prev[n] > 0.25
         ]
         for name in movers:
             try:
