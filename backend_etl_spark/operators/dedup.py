@@ -163,7 +163,12 @@ def lsh_candidate_pairs(
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(
+        # merge hint: BOTH sides are the corpus-sized banded-signature
+        # relation (n_docs × bands rows) — the planner's estimate of the
+        # derived side stays under the broadcast threshold long after
+        # the relation stops fitting an executor. A self-join of two
+        # growing sides must shuffle.
+        a.hint("merge").join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_value") == F.col("b.band_value"))
@@ -258,17 +263,19 @@ def jaccard_pairs(
         # Candidates must shuffle like the fact side it is.
         candidates.select("doc_a", "doc_b")
         .hint("merge")
-        .join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
+        .join(sh_a.hint("merge"), "doc_a")
+        .join(sh_b.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     size_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     size_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        inter.hint("merge")  # same growth argument as the candidates side
-        .join(size_a, "doc_a")
-        .join(size_b, "doc_b")
+        # sizes is per-doc (corpus-sized) and inter is candidate-sized:
+        # every side here grows, so every join shuffles
+        inter.hint("merge")
+        .join(size_a.hint("merge"), "doc_a")
+        .join(size_b.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -634,3 +634,15 @@ def test_zorder_layout_prunes_directories_both_dims(spark, sf_dir):
     # the Morton cover of the attested box maps to ONE z-range bucket;
     # 2-D skipping must drop at least half the layout at any SF
     assert 0 < read <= total / 2, (read, total)
+
+
+def test_jaccard_candidate_side_never_broadcast(spark, sf_dir):
+    """The LSH candidate-pair relation grows with near-dup group sizes
+    (3.8M rows at sf1) while Spark's through-join estimate of it stays
+    tiny — left unhinted the planner auto-broadcasts it and the driver
+    dies at scale. The merge hints must keep EVERY join in this entry
+    off the broadcast path."""
+    df = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    text = quality.plan_text(df)
+    assert "BroadcastHashJoin" not in text, text
+    assert "SortMergeJoin" in text, text
