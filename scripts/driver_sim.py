@@ -44,6 +44,16 @@ for t in TABLES:
 
 qs = contract.queries()
 oracles = contract.oracle_sql()
+
+# DRIVER_SIM_ONLY: comma-separated entry names — value-check a curated
+# subset (e.g. the sf-sensitive families at a big local SF) instead of
+# the full catalog. Default (unset): everything, exactly as the driver.
+_only = os.environ.get("DRIVER_SIM_ONLY")
+if _only:
+    keep = {n.strip() for n in _only.split(",") if n.strip()}
+    missing = keep - set(qs)
+    assert not missing, f"unknown entries in DRIVER_SIM_ONLY: {missing}"
+    qs = {n: fn for n, fn in qs.items() if n in keep}
 ok = bad = rows_only = 0
 for name, fn in qs.items():
     sdf = fn(spark, SF_DIR)
