@@ -538,24 +538,36 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_lag_value_delta",
     oracle="""
-    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                       CAST(value AS DECIMAL(18,6)) AS dv
+                FROM events)
     SELECT event_id, user_id, ts, value,
-           round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id), 2) AS value_delta
+           CAST(round(dv - lag(dv) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id), 2)
+                AS DOUBLE) AS value_delta
     FROM ev
     """,
 )
 def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() over the event stream — per-entity deltas (NULL on first)."""
+    """lag() over the event stream — per-entity deltas (NULL on first).
+
+    The delta is computed in EXACT decimal: events.value is 6-dp data,
+    so DECIMAL(18,6) subtraction is exact and the 2-dp rounding of an
+    exact .xx5000 midpoint is deterministic (away-from-zero) on both
+    engines. round() on the raw DOUBLE delta diverged at sf1 — 4 of 1M
+    rows landed within an ulp of a midpoint, where Spark (HALF_UP on
+    the shortest decimal repr) and DuckDB (half-away on the binary)
+    disagree."""
     tune(spark)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         "value",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        F.round(dv - F.lag(dv).over(w), 2).cast("double").alias("value_delta"),
     )
 
 
