@@ -716,9 +716,10 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN v)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_bigrams,
-           round(s / n, 4)   AS avg_log2p,
+           -(((2 * p + 100 * n) // (200 * n)) / 10000.0) AS avg_log2p,
            round(pow(2, -(s / n)), 4) AS perplexity
-    FROM (SELECT doc_id, count(*) AS n, CAST(sum(lp) AS DOUBLE) AS s
+    FROM (SELECT doc_id, count(*) AS n, CAST(sum(lp) AS DOUBLE) AS s,
+                 CAST(-sum(lp) * 1000000 AS BIGINT) AS p
           FROM scored GROUP BY doc_id)
     """,
 )
@@ -773,13 +774,22 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.sum("lp").cast("double").alias("s"),
+            # the sum of 6-dp decimals is an exact integer count of
+            # 1e-6 units (lp < 0 always: the smoothed prob is < 1)
+            (-F.sum("lp") * 1_000_000).cast("long").alias("p"),
         )
     )
     mean = F.col("s") / F.col("n_bigrams")
+    # 4-dp half-away rounding of the EXACT rational p/(100n), done in
+    # integer floor division — round(s/n, 4) on the double quotient
+    # split engines on 2 of 50k docs at sf1 (quotients within an ulp
+    # of a .xxxx5 midpoint). floor((2p+100n)/(200n)) == round(p/(100n))
+    # for positive integers on both engines.
+    q = F.expr("(2 * p + 100 * n_bigrams) div (200 * n_bigrams)")
     return per_doc.select(
         "doc_id",
         "n_bigrams",
-        F.round(mean, 4).alias("avg_log2p"),
+        (-(q / F.lit(10000.0))).alias("avg_log2p"),
         F.round(F.pow(F.lit(2.0), -mean), 4).alias("perplexity"),
     )
 
