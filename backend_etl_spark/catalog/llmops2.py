@@ -1382,7 +1382,8 @@ def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, lang,
            CAST(count(*) AS BIGINT)        AS n_docs,
            CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
-           round(avg(n_chars), 2)          AS avg_chars,
+           ((200 * sum(n_chars) + count(*)) // (2 * count(*)))
+             / 100.0                         AS avg_chars,
            CAST(min(n_chars) AS BIGINT)    AS min_chars,
            CAST(max(n_chars) AS BIGINT)    AS max_chars,
            CAST(count(dup.ck) AS BIGINT)   AS n_exact_dup_docs
@@ -1416,10 +1417,21 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            # integer-exact 2-dp half-away mean: n_chars is integral,
+            # so avg lands on TRUE .xx5 midpoints (observed at sf1:
+            # 120762/400 = 301.905) where double round() splits engines
+            F.expr(
+                "(200 * sum(n_chars) + count(*)) div (2 * count(*))"
+            ).cast("double").alias("avg_chars_units"),
             F.min("n_chars").cast("bigint").alias("min_chars"),
             F.max("n_chars").cast("bigint").alias("max_chars"),
             F.count("is_dup").cast("bigint").alias("n_exact_dup_docs"),
+        )
+        .withColumn("avg_chars", F.col("avg_chars_units") / F.lit(100.0))
+        .drop("avg_chars_units")
+        .select(
+            "source", "lang", "n_docs", "total_tokens", "avg_chars",
+            "min_chars", "max_chars", "n_exact_dup_docs",
         )
     )
 
@@ -2588,10 +2600,11 @@ _TRIGRAM_ORACLE = f"""
         CROSS JOIN nv)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_trigrams,
-           round(s / n, 4)   AS avg_log2s,
+           -(((2 * p + 100 * n) // (200 * n)) / 10000.0) AS avg_log2s,
            round(pow(2, -(s / n)), 4) AS pseudo_perplexity
     FROM (SELECT g3.doc_id, count(*) AS n,
-                 CAST(sum(scored.lp) AS DOUBLE) AS s
+                 CAST(sum(scored.lp) AS DOUBLE) AS s,
+                 CAST(-sum(scored.lp) * 1000000 AS BIGINT) AS p
           FROM g3 JOIN scored ON scored.g = g3.g
           GROUP BY g3.doc_id)
 """
@@ -2687,13 +2700,17 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
             F.sum("lp").cast("double").alias("s"),
+            (-F.sum("lp") * 1_000_000).cast("long").alias("p"),
         )
     )
     mean = F.col("s") / F.col("n_trigrams")
+    # integer-exact 4-dp mean (see quality_bigram_logprob — the same
+    # round(s/n, 4) midpoint split, observed 1/50k docs at sf1)
+    q = F.expr("(2 * p + 100 * n_trigrams) div (200 * n_trigrams)")
     return per_doc.select(
         "doc_id",
         "n_trigrams",
-        F.round(mean, 4).alias("avg_log2s"),
+        (-(q / F.lit(10000.0))).alias("avg_log2s"),
         F.round(F.pow(F.lit(2.0), -mean), 4).alias("pseudo_perplexity"),
     )
 
