@@ -27,22 +27,22 @@ from backend_etl_spark.catalog.registry import REGISTRY, QuerySpec
 # the bounded-error attestation pattern so it can finally hash-match; it
 # fronts the sample until its green row lands (then the catalog is 200/200).
 _DRIVER_ATTESTED = frozenset({
-    "agg_approx_error_bounded", "agg_approx_quantile_bounded",
-    "agg_corr_covar", "agg_cube_orders", "agg_distinct_customers_per_status",
-    "agg_grouping_sets", "agg_median_price", "agg_quantile_family",
-    "agg_rollup_grouping_id", "agg_rollup_lineitem", "agg_stats_dispersion",
-    "agg_status_priority", "agg_top_bigrams", "ansi_safe_arithmetic",
-    "array_agg_event_types", "array_setops_token_halves",
-    "asof_forward_next_click", "asof_purchase_last_click",
-    "bpe_encode_tokens", "bpe_train_merges", "bucketed_sessionize_events",
-    "catalog_table_inventory", "cdc_snapshot_diff", "corpus_drift_kl",
-    "corpus_dsir_weights", "corpus_pipeline_funnel",
-    "curation_deterministic_sample", "curation_length_band_filter",
-    "curation_quality_band", "curation_stratified_sample",
-    "curation_temperature_resample", "curation_token_budget_pack",
-    "curation_unimax_mixture", "curation_weighted_sample",
-    "dataset_card_stats", "date_functions_showcase",
-    "decontam_ngram_overlap", "decontam_semantic",
+    "agg_approx_count_distinct", "agg_approx_error_bounded",
+    "agg_approx_quantile_bounded", "agg_corr_covar", "agg_cube_orders",
+    "agg_distinct_customers_per_status", "agg_grouping_sets",
+    "agg_median_price", "agg_quantile_family", "agg_rollup_grouping_id",
+    "agg_rollup_lineitem", "agg_stats_dispersion", "agg_status_priority",
+    "agg_top_bigrams", "ansi_safe_arithmetic", "array_agg_event_types",
+    "array_setops_token_halves", "asof_forward_next_click",
+    "asof_purchase_last_click", "bpe_encode_tokens", "bpe_train_merges",
+    "bucketed_sessionize_events", "catalog_table_inventory",
+    "cdc_snapshot_diff", "corpus_drift_kl", "corpus_dsir_weights",
+    "corpus_pipeline_funnel", "curation_deterministic_sample",
+    "curation_length_band_filter", "curation_quality_band",
+    "curation_stratified_sample", "curation_temperature_resample",
+    "curation_token_budget_pack", "curation_unimax_mixture",
+    "curation_weighted_sample", "dataset_card_stats",
+    "date_functions_showcase", "decontam_ngram_overlap", "decontam_semantic",
     "dedup_cluster_components", "dedup_embedding_cosine_pairs",
     "dedup_exact_docs", "dedup_incremental_snapshot",
     "dedup_keep_best_in_cluster", "dedup_lsh_candidates",
@@ -70,10 +70,12 @@ _DRIVER_ATTESTED = frozenset({
     "knn_ivfpq_residual", "knn_ivfpq_search_persisted", "knn_lsh_bucketed",
     "knn_lsh_recall_at_5", "knn_pq_adc", "lang_id_heuristic",
     "layout_bucketed_colocated_join", "layout_compact_small_files",
-    "layout_zorder_key", "linkedin_struct_fixture", "map_ops_event_attrs",
+    "layout_zorder_key", "layout_zorder_pruned_box",
+    "linkedin_struct_fixture", "map_ops_event_attrs",
     "multimodal_audio_chunks", "multimodal_binary_meta",
-    "multimodal_decode_ppm", "multimodal_decode_wav",
-    "multimodal_fake_embed", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_decode_avi", "multimodal_decode_ppm",
+    "multimodal_decode_wav", "multimodal_fake_embed",
+    "multimodal_frame_sample", "multimodal_resize",
     "nested_struct_first_match", "orders_monthly_volume",
     "pack_bestfit_bins", "pack_sequences_2048",
     "partitioned_ship_year_revenue", "pii_scrub_customers",

@@ -7,8 +7,10 @@ SparkSession (no engine tuning) — exactly how the driver calls us.
 Usage: python scripts/driver_sim.py [sf_dir]
 """
 
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -39,6 +41,13 @@ assert len(rows) > 0, "entry() returned 0 rows"
 print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
 
 con = duckdb.connect()
+# DRIVER_SIM_DUCKDB_MEM: cap the oracle engine so a CTE that blows past
+# box RAM at big local SFs (the sf1 k-gram / recursive-CC class,
+# BASELINE §r) fails as a recorded per-entry error instead of OOM-killing
+# the host. Unset = DuckDB default (80% of RAM), exactly as the driver.
+_dmem = os.environ.get("DRIVER_SIM_DUCKDB_MEM")
+if _dmem:
+    con.sql(f"SET memory_limit='{_dmem}'")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
@@ -54,26 +63,61 @@ if _only:
     missing = keep - set(qs)
     assert not missing, f"unknown entries in DRIVER_SIM_ONLY: {missing}"
     qs = {n: fn for n, fn in qs.items() if n in keep}
-ok = bad = rows_only = 0
+# DRIVER_SIM_LEDGER: JSONL path — append one record per entry
+# ({name, sf_dir, status, rows, secs[, detail]}) so long attestation
+# sweeps (BASELINE §r) leave a durable, mergeable audit trail. With a
+# ledger active, a per-entry crash is recorded and the sweep continues
+# (the driver itself has no ledger and keeps its fail-fast semantics).
+_ledger = os.environ.get("DRIVER_SIM_LEDGER")
+
+
+def _record(rec: dict) -> None:
+    if _ledger:
+        with open(_ledger, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+
+ok = bad = rows_only = errs = 0
 for name, fn in qs.items():
-    sdf = fn(spark, SF_DIR)
-    if name not in oracles:
-        n = sdf.count()
-        print(f"  ~ {name}: rows-only, {n} rows")
-        rows_only += 1
+    t0 = time.perf_counter()
+    try:
+        sdf = fn(spark, SF_DIR)
+        if name not in oracles:
+            n = sdf.count()
+            print(f"  ~ {name}: rows-only, {n} rows")
+            rows_only += 1
+            _record({"name": name, "sf_dir": SF_DIR, "status": "rows_only",
+                     "rows": n, "secs": round(time.perf_counter() - t0, 2)})
+            continue
+        act_cols, act = list(sdf.columns), [tuple(r) for r in sdf.collect()]
+        rel = con.sql(oracles[name])
+        exp_cols, exp = list(rel.columns), rel.fetchall()
+        schema_ok = sorted(act_cols) == sorted(exp_cols)
+        count_ok = len(act) == len(exp)
+        vals_ok = normalized_rows(act_cols, act) == normalized_rows(exp_cols, exp)
+    except Exception as exc:  # noqa: BLE001 - ledger sweeps keep going
+        if not _ledger:
+            raise
+        errs += 1
+        print(f"  x {name}: ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
+        _record({"name": name, "sf_dir": SF_DIR, "status": "error",
+                 "secs": round(time.perf_counter() - t0, 2),
+                 "detail": f"{type(exc).__name__}: {str(exc)[:300]}"})
         continue
-    act_cols, act = list(sdf.columns), [tuple(r) for r in sdf.collect()]
-    rel = con.sql(oracles[name])
-    exp_cols, exp = list(rel.columns), rel.fetchall()
-    schema_ok = sorted(act_cols) == sorted(exp_cols)
-    count_ok = len(act) == len(exp)
-    vals_ok = normalized_rows(act_cols, act) == normalized_rows(exp_cols, exp)
+    secs = round(time.perf_counter() - t0, 2)
     if schema_ok and count_ok and vals_ok:
         ok += 1
         print(f"  + {name}: MATCH ({len(act)} rows)")
+        _record({"name": name, "sf_dir": SF_DIR, "status": "match",
+                 "rows": len(act), "secs": secs})
     else:
         bad += 1
         print(f"  ! {name}: MISMATCH schema={schema_ok} count={count_ok} "
               f"({len(act)} vs {len(exp)}) values={vals_ok}")
-print(f"\n{ok} match, {bad} mismatch, {rows_only} rows-only of {len(qs)}")
+        _record({"name": name, "sf_dir": SF_DIR, "status": "mismatch",
+                 "rows": len(act), "secs": secs,
+                 "detail": f"schema={schema_ok} count={count_ok} "
+                           f"({len(act)} vs {len(exp)}) values={vals_ok}"})
+print(f"\n{ok} match, {bad} mismatch, {rows_only} rows-only, "
+      f"{errs} error of {len(qs)}")
 sys.exit(1 if bad else 0)
