@@ -104,9 +104,16 @@ def _assign_np_udf(centroids: dict[int, list[float]]):
     the exact IEEE op sequence ``((x1-c1)² + (x2-c2)²) + ...`` the
     zip_with/aggregate expression and the oracle's list_reduce produce.
     Rounding is floor(d·1e6 + 0.5)/1e6 — half-away-from-zero on the
-    binary value for d ≥ 0, the same semantic the green cross-engine
-    parity already relies on. np.argmin takes the FIRST minimum, which
-    IS the tie-break on lowest cluster id."""
+    binary value for d ≥ 0, which matches the DuckDB oracle's round().
+    CAVEAT: the k < NP_ASSIGN_MIN_K literal path uses F.round (HALF_UP
+    on the shortest decimal repr), which differs from half-away-on-
+    binary ONLY when a distance lands within an ulp of an exact .5e-6
+    midpoint — a class attested absent in this data (the same ulp
+    class BASELINE §r documents for window_lag_value_delta). The FOLD
+    is bit-identical across paths; the final rounding semantic is not,
+    so an entry whose adaptive k crosses NP_ASSIGN_MIN_K between SFs
+    could in principle split on a midpoint ulp. np.argmin takes the
+    FIRST minimum, which IS the tie-break on lowest cluster id."""
     cids = np.array(sorted(centroids), dtype=np.int64)
     C = np.array([centroids[c] for c in sorted(centroids)], dtype=np.float64)
 
@@ -139,8 +146,9 @@ def assign_clusters(
     Map-only and shuffle-free on both paths: for small k the argmin is
     an array_min over a literal struct array (dist rounded, tie-break on
     cluster id); for k ≥ NP_ASSIGN_MIN_K the same argmin runs as an
-    Arrow-batched numpy kernel (see _assign_np_udf — numerics are
-    bit-identical, verified by oracle parity at every SF), because the
+    Arrow-batched numpy kernel (see _assign_np_udf — fold bit-identical,
+    rounding semantics differ only on a .5e-6-midpoint-ulp class
+    attested absent; oracle parity green at every SF), because the
     interpreted higher-order transform costs ~k·dim boxed ops per row
     and dominates wall-clock once k scales with corpus size.
     """
@@ -186,23 +194,37 @@ def seed_centroids(
 _FIT_CACHE: dict[tuple, dict[int, list[float]]] = {}
 
 
-def _plan_key(df: DataFrame) -> tuple[str, tuple[str, ...]] | None:
+def _plan_key(df: DataFrame) -> tuple[str, tuple, ...] | None:
     """Canonical identity of a DataFrame's logical input: the analyzed
     plan with Catalyst's per-instance expression ids (#123) stripped —
     two plans over the same files with the same expressions normalize
     to the same key even though each build allocates fresh ids — PLUS
     the concrete input file list (the analyzed-plan string elides the
-    parquet path, so without it two scale factors would collide)."""
+    parquet path, so without it two scale factors would collide),
+    each file stamped with (size, mtime_ns) so a parquet file
+    REWRITTEN IN PLACE (regenerated fixture, refreshed snapshot)
+    changes the key instead of silently serving stale centroids.
+    Non-local URIs fall back to path identity — a remote object store
+    is immutable-by-convention (new snapshot = new path)."""
+    import os
     import re
 
-    files = tuple(sorted(df.inputFiles()))
-    if not files:
+    paths = sorted(df.inputFiles())
+    if not paths:
         # in-memory relation (LogicalRDD/LocalRelation): its plan string
         # elides the data, so two different datasets would collide —
         # never memoize these
         return None
+    files = []
+    for p in paths:
+        local = p[len("file:"):] if p.startswith("file:") else None
+        try:
+            st = os.stat(local) if local else None
+        except OSError:
+            st = None
+        files.append((p, st.st_size, st.st_mtime_ns) if st else (p,))
     s = re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
-    return s, files
+    return s, tuple(files)
 
 
 def kmeans_fit(
@@ -303,6 +325,12 @@ def kmeans_fit_multi(
         r["_tag"]: r["n"]
         for r in tagged.groupBy("_tag").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    empty = [t for t in tags if counts.get(t, 0) == 0]
+    if empty:
+        raise ValueError(
+            f"kmeans_fit_multi: empty input relation(s) for tag(s) {empty} "
+            "— every tagged DataFrame must contribute at least one vector"
+        )
     stride = {t: max(counts[t] // k, 1) for t in tags}
     stride_expr = F.lit(None)
     for t in tags:
