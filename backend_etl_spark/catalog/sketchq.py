@@ -143,7 +143,10 @@ def streaming_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = sketch.cms_build(batch, F.col("k"), _CMS_D, _CMS_W)
         cells.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
-    with drain_conf(spark):
+    # n=None: foreachBatch partial builds use no state store — the
+    # partition count is per-batch compute parallelism; inherit the
+    # tuned width (streaming/__init__ docstring, r6 postmortem)
+    with drain_conf(spark, n=None):
         (
             spark.readStream.schema("k STRING")
             .option("maxFilesPerTrigger", 1)
@@ -238,7 +241,10 @@ def streaming_sketch_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{cand_p}/batch={batch_id}"
         )
 
-    with drain_conf(spark):
+    # n=None: foreachBatch partial builds use no state store — the
+    # partition count is per-batch compute parallelism; inherit the
+    # tuned width (streaming/__init__ docstring, r6 postmortem)
+    with drain_conf(spark, n=None):
         (
             spark.readStream.schema("k STRING")
             .option("maxFilesPerTrigger", 1)

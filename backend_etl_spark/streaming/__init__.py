@@ -16,6 +16,17 @@ partitions to watermark-bounded state volume (raise it), don't inherit
 whatever the batch shuffle width happens to be. Each query's count is
 locked into its checkpoint at first start — our drains always start
 from a fresh checkpoint, so the pin is safe.
+
+The pin applies ONLY to drains whose per-batch cost is state-store
+open/commit cycles (stream-stream joins, dropDuplicates state, windowed
+aggs over few keys). Drains that are per-batch COMPUTE (foreachBatch
+partial-sketch builds — no state store at all — and
+applyInPandasWithState, where the partition count is the Python-worker
+parallelism) pass ``n=None`` and inherit the session's tuned batch
+width instead: pinning those to 8 was measured 1.5x slower at sf0.1
+(r6 postmortem — sessionize 2.88->4.41 s, CMS topk 3.06->4.53 s,
+CMS merge 2.37->3.81 s) because it throttled 32-core compute to 8
+tasks while saving nothing on state stores they don't use.
 """
 
 from __future__ import annotations
@@ -30,9 +41,17 @@ STATE_PARTITIONS = 8
 
 
 @contextmanager
-def drain_conf(spark: SparkSession, n: int = STATE_PARTITIONS):
+def drain_conf(spark: SparkSession, n: int | None = STATE_PARTITIONS):
     """Temporarily pin the shuffle/state partition count around a
-    streaming start()+awaitTermination(); restores the session value."""
+    streaming start()+awaitTermination(); restores the session value.
+
+    ``n=None`` = inherit the session's (tuned) width unchanged — for
+    compute-bound drains (foreachBatch builds, applyInPandasWithState)
+    where the partition count is task parallelism, not state-store
+    count (see module docstring)."""
+    if n is None:
+        yield
+        return
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

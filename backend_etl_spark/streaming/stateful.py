@@ -100,7 +100,10 @@ def run_sessionize(
     from backend_etl_spark.streaming.windowed import read_events_stream
 
     sessions = sessionize_stream(read_events_stream(spark, source_dir))
-    with drain_conf(spark):
+    # n=None: applyInPandasWithState's partition count IS the Python-
+    # worker parallelism — inherit the tuned width (pinning to 8 was
+    # measured 1.5x slower at sf0.1; streaming/__init__ docstring)
+    with drain_conf(spark, n=None):
         (
             sessions.writeStream.format("parquet")
             .option("path", sink_path)
