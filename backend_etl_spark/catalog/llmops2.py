@@ -1837,8 +1837,6 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     from backend_etl_spark.functions.scalars import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    ent = quality_char_entropy(spark, sf_dir).select("doc_id", "char_entropy_bits")
-    rep = textops.repetition_metrics(docs).select("doc_id", "keep")
     lm = quality_bigram_logprob(spark, sf_dir).select("doc_id", "avg_log2p")
     base = docs.select(
         "doc_id",
@@ -1846,13 +1844,16 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         dedup.content_key(F.col("text")).alias("ck"),
         F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
     )
+    # entropy + repetition gates are pure per-row expressions — applied
+    # INLINE on the scan (identical arithmetic to quality_char_entropy /
+    # repetition_metrics; tests/test_llmops2.py pins the equivalence).
+    # Only the LM gate needs a join: its score depends on the global
+    # bigram model.
     q = (
-        base.join(ent, "doc_id")
-        .join(rep, "doc_id")
-        .join(lm, "doc_id", "left")
+        base.join(lm, "doc_id", "left")
         .where(
-            (F.col("char_entropy_bits") >= 3.9)
-            & F.col("keep")
+            (textops.char_entropy_bits(F.col("text")) >= 3.9)
+            & textops.repetition_keep(F.col("text"))
             & F.coalesce(F.col("avg_log2p") >= -4.95, F.lit(False))
         )
         .select("doc_id", "text", "ck", "ntok")
@@ -1881,7 +1882,10 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         .select(F.col("db").alias("doc_id"))
         .distinct()
     )
-    nd = ex.join(drop, "doc_id", "anti")
+    # the nd chain (MinHash signatures + band self-join) is the funnel's
+    # most expensive stage and has TWO consumers (the fin stage below
+    # and the n_after_near_dedup count) — checkpoint so it runs once
+    nd = ex.join(drop, "doc_id", "anti").localCheckpoint(eager=True)
     cont = decontam_ngram_overlap(spark, sf_dir).select("doc_id")
     # fin feeds five downstream aggregates (count, 3 split counts, token
     # sum) — checkpoint so the dedup/decontam chain computes once
@@ -1982,21 +1986,37 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def one(df, name):
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
 
+    # fused 1-row aggregates: the decontam count and token budget ride
+    # ONE pass over fin, and all three split counts ride ONE pass over
+    # spl (three filtered counts = three jobs over the same checkpoint)
     counts = [
         one(docs, "n_raw"),
         one(q, "n_after_quality"),
         one(ex, "n_after_exact_dedup"),
         one(nd, "n_after_near_dedup"),
-        one(fin, "n_after_decontam"),
-        one(spl.where(F.col("split") == "train"), "n_train"),
-        one(spl.where(F.col("split") == "val"), "n_val"),
-        one(spl.where(F.col("split") == "test"), "n_test"),
-        fin.agg(F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("total_tokens")),
+        fin.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_decontam"),
+            F.coalesce(F.sum("ntok"), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+        ),
+        spl.agg(
+            *[
+                F.sum(F.when(F.col("split") == s, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{s}")
+                for s in ("train", "val", "test")
+            ]
+        ),
     ]
     out = counts[0]
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
-    return out
+    return out.select(
+        "n_raw", "n_after_quality", "n_after_exact_dedup",
+        "n_after_near_dedup", "n_after_decontam",
+        "n_train", "n_val", "n_test", "total_tokens",
+    )
 
 
 _FUNNEL_ORACLE = f"""

@@ -184,7 +184,23 @@ def repetition_metrics(
     was the catalog's most expensive map stage (23.6 s at sf0.1, now
     ~1 s); an explode → groupBy → join-back would cost two shuffles.
     """
-    toks = tokens(F.col(text_col))
+    exprs = _repetition_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        exprs["n"].cast("bigint").alias("n_tokens"),
+        exprs["top_frac"].alias("top_token_frac"),
+        exprs["dup2"].alias("dup_2gram_frac"),
+        exprs["dup3"].alias("dup_3gram_frac"),
+        exprs["keep"].alias("keep"),
+    )
+
+
+def _repetition_exprs(text: Column) -> dict[str, Column]:
+    """The Gopher repetition metrics as bare column expressions over a
+    text column — shared by repetition_metrics (the relation form) and
+    repetition_keep (the inline-filter form), so a pipeline that only
+    needs the keep flag skips the doc_id join-back entirely."""
+    toks = tokens(text)
     n = F.size(toks)
     st = F.array_sort(toks)
 
@@ -223,14 +239,19 @@ def repetition_metrics(
     top_frac = F.round(top_cnt / n.cast("double"), 4)
     dup2 = dup_frac(g2)
     dup3 = dup_frac(g3)
-    return df.select(
-        F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        top_frac.alias("top_token_frac"),
-        dup2.alias("dup_2gram_frac"),
-        dup3.alias("dup_3gram_frac"),
-        (~((top_frac > 0.30) | (dup2 > 0.60))).alias("keep"),
-    )
+    return {
+        "n": n,
+        "top_frac": top_frac,
+        "dup2": dup2,
+        "dup3": dup3,
+        "keep": ~((top_frac > 0.30) | (dup2 > 0.60)),
+    }
+
+
+def repetition_keep(text: Column) -> Column:
+    """The repetition_metrics ``keep`` flag as a bare map-only
+    expression (identical arithmetic, no join-back)."""
+    return _repetition_exprs(text)["keep"]
 
 
 def passage_hashes(
@@ -314,12 +335,30 @@ def char_entropy(
     and the DuckDB oracle replays the identical operation sequence, so
     the rounded double matches bit-for-bit.
     """
-    chars = F.filter(
-        F.split(normalize_text(F.col(text_col)), ""), lambda c: c != F.lit("")
+    chars = _entropy_chars(F.col(text_col))
+    n = F.size(chars)
+    dist = F.array_distinct(F.array_sort(chars))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars_norm"),
+        F.size(dist).cast("bigint").alias("n_distinct_chars"),
+        char_entropy_bits(F.col(text_col)).alias("char_entropy_bits"),
     )
+
+
+def _entropy_chars(text: Column) -> Column:
+    return F.filter(
+        F.split(normalize_text(text), ""), lambda c: c != F.lit("")
+    )
+
+
+def char_entropy_bits(text: Column) -> Column:
+    """The entropy column alone, as a bare map-only expression — for
+    pipelines that filter on it inline (identical arithmetic to
+    char_entropy, no join-back on doc_id)."""
+    chars = _entropy_chars(text)
     n = F.size(chars)
     srt = F.array_sort(chars)
-    dist = F.array_distinct(srt)
 
     def _rl(run):  # r * log2(r) -- one run's contribution
         r = run.cast("double")
@@ -349,14 +388,9 @@ def char_entropy(
         lambda acc: acc.s + F.when(acc.run > 0, _rl(acc.run)).otherwise(F.lit(0.0)),
     )
     ent = F.log2(n.cast("double")) - run_sum / n
-    return df.select(
-        F.col(id_col),
-        n.cast("bigint").alias("n_chars_norm"),
-        F.size(dist).cast("bigint").alias("n_distinct_chars"),
-        # + 0.0 normalizes IEEE -0.0 (single-char docs) to +0.0 so the
-        # value-hash matches engines that produce +0.0
-        F.when(n > 0, F.round(ent, 4) + F.lit(0.0)).alias("char_entropy_bits"),
-    )
+    # + 0.0 normalizes IEEE -0.0 (single-char docs) to +0.0 so the
+    # value-hash matches engines that produce +0.0
+    return F.when(n > 0, F.round(ent, 4) + F.lit(0.0))
 
 
 BPE_SEP = "\x1f"  # wraps every symbol: "\x1f a \x1f\x1f b \x1f" (no spaces)
