@@ -667,7 +667,7 @@ def dq_validation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH purchases AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             round(value, 2) AS value
+             CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS value
       FROM events WHERE event_type = 'purchase'
     )
     SELECT user_id, value AS attr_value,
@@ -682,13 +682,28 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history build: each per-user attribute observation
     becomes a validity interval [effective_from, effective_to) with an
     is_current flag — the warehouse pattern for dimension change
-    tracking, one window pass (lead), no self-join."""
+    tracking, one window pass (lead), no self-join.
+
+    The attribute is rounded in EXACT decimal (the house midpoint
+    pattern, BASELINE §r): events.value is 6-dp data, so DECIMAL(18,6)
+    holds it exactly and the 2-dp rounding of a .xx5 midpoint is
+    deterministic on both engines — round() on the raw DOUBLE diverged
+    at sf1 (2 of 200,858 purchase rows landed within an ulp of a
+    midpoint, e.g. 4.515: Spark HALF_UP on the shortest repr vs DuckDB
+    half-away on the binary)."""
     tune(spark)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     purchases = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
-        .select("user_id", "ts", "event_id", F.round("value", 2).alias("attr_value"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("attr_value"),
+        )
     )
     return purchases.select(
         "user_id",
