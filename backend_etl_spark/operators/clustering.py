@@ -90,11 +90,14 @@ def nearest_centroid(
     return F.array_min(_centroid_structs(centroids, _as_double(vec)))
 
 
-#: past this many centroids the Catalyst literal-array argmin (a
-#: higher-order transform, evaluated interpreted per element) loses to
-#: an Arrow-batched numpy kernel by ~2 orders of magnitude; below it
-#: the literal expression wins (no Python workers, plan gates intact).
-NP_ASSIGN_MIN_K = 33
+#: the Catalyst literal-array argmin (a higher-order transform,
+#: evaluated interpreted per element) loses to the Arrow-batched numpy
+#: kernel at every measured k on warm sessions (r7, sf0.1 / 2000
+#: vectors: k=4 0.39s vs 0.24s, k=8 0.51 vs 0.22, k=16 0.80 vs 0.19,
+#: k=32 1.54 vs 0.24 — the literal cost is ~linear in k, the kernel
+#: flat). The literal path is kept only below k=5, where the expression
+#: is trivial and a cold query avoids the one-time Python-worker spawn.
+NP_ASSIGN_MIN_K = 5
 
 
 def _assign_np_udf(centroids: dict[int, list[float]]):
