@@ -99,8 +99,10 @@ def dedup_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: map-only passage hashing (array expr + posexplode), one
     shuffle to find hashes spanning >1 doc, one shuffle back to the
     per-doc rollup — the scale-standard shape for paragraph dedup
-    (RefinedWeb/CCNet-style), with AQE free to broadcast the dup set
-    when it is small.
+    (RefinedWeb/CCNet-style). The dup set carries a merge hint: it
+    GROWS with the corpus while its through-agg size estimate stays
+    frozen tiny (the r6 derived-side class), and the SMJ reuses the
+    ph partitioning the dup aggregate just produced.
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -112,7 +114,7 @@ def dedup_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ph", F.lit(1).alias("is_dup"))
     )
     return (
-        passes.join(dup, "ph", "left")
+        passes.join(dup.hint("merge"), "ph", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_passages"),
@@ -1396,7 +1398,9 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts, length envelope, and exact-duplicate incidence — the
     table a curation pipeline publishes alongside every corpus release.
     Two linear shuffles (dup-key aggregate, slice rollup); the dup set
-    is Zipf-small so AQE broadcasts the join back."""
+    GROWS with the corpus, so its join back carries a merge hint (the
+    r6 derived-side rule — its through-agg estimate stays frozen tiny
+    and the static planner would broadcast it)."""
     tune(spark)
     from backend_etl_spark.functions.scalars import tokens
     from backend_etl_spark.operators.dedup import content_key
@@ -1412,7 +1416,7 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ck", F.lit(1).alias("is_dup"))
     )
     return (
-        d.join(dup, "ck", "left")
+        d.join(dup.hint("merge"), "ck", "left")
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

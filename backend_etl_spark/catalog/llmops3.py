@@ -858,7 +858,11 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
+        # merge hint: dl has one row per CORPUS document (and the
+        # posting side grows with df) while both through-agg estimates
+        # stay frozen tiny — the static planner would auto-broadcast a
+        # corpus-sized doc-length table (the r6 derived-side class)
+        .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
         .agg(
@@ -1003,7 +1007,9 @@ def rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sparse = (
         tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
+        # merge hint: dl is corpus-sized (r6 derived-side class) —
+        # same rationale as text_bm25_ranking
+        .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(per_term), 6).alias("bm25"))

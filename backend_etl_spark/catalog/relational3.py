@@ -254,7 +254,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back to the fact (the plan every optimizer rewrites Q17
     into; written directly). Adapted: p_type stands in for the missing
     p_container. l_quantity is integral so the 0.2*avg threshold is
-    bit-exact on both engines."""
+    bit-exact on both engines.
+
+    The per-part threshold relation is keyed by l_partkey and GROWS
+    with the corpus, so it carries a merge hint (the r6 derived-side
+    rule: Spark's through-plan size estimate of it stays frozen-tiny
+    and the static planner would auto-broadcast a table with one row
+    per part — a driver kill at 100 TB). The merge join is free here:
+    the aggregate's shuffle already partitions its output by the join
+    key, so the SMJ reuses that partitioning and only the fact side
+    shuffles once."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -267,7 +276,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
+        .join(per_part.hint("merge"), F.col("a_partkey") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -453,7 +462,13 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     def first_after(etype: str, prev: DataFrame | None, prev_col: str | None):
         e = ev.where(F.col("event_type") == etype)
         if prev is not None:
-            e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+            # merge hint: prev is a per-USER aggregate — corpus-growing
+            # with a frozen-tiny through-agg estimate (the r6 derived-
+            # side class); the SMJ reuses the user_id partitioning the
+            # docstring promises, so no extra exchange
+            e = e.join(prev.hint("merge"), "user_id").where(
+                F.col("ts") > F.col(prev_col)
+            )
         return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
 
     v = first_after("view", None, None)
@@ -512,7 +527,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     active = (
-        ev.join(first, "user_id")
+        # merge hint: first is per-USER (corpus-growing derived side);
+        # the join key matches both aggs' partitioning, zero extra cost
+        ev.join(first.hint("merge"), "user_id")
         .select(
             "user_id",
             "cohort_week",

@@ -199,9 +199,12 @@ def incremental_lsh_matches(
 
     Probe join, not self-join: batch bands ⋈ corpus bands on the band
     bucket — cost O(|batch| × bucket size), independent of corpus size.
-    The typical batch is orders of magnitude smaller than the corpus, so
-    AQE broadcasts the batch side and the corpus index is only scanned,
-    never shuffled.
+    Both sides carry merge hints (the r6 derived-side rule): batch AND
+    corpus band relations grow with their inputs while their through-agg
+    size estimates stay frozen tiny, so the static planner would
+    auto-broadcast one of them — at 100 TB a crawl batch is itself
+    TB-scale. With the corpus index bucketed on band_value the SMJ
+    shuffles only the batch side; the corpus is only scanned.
 
     Returns one row per batch doc (including novel ones):
     (batch_doc_id, n_corpus_matches, best_match_id, is_novel).
@@ -213,7 +216,7 @@ def incremental_lsh_matches(
         F.col(id_col).alias("corpus_doc_id"), "band_id", "band_value"
     )
     hits = (
-        bb.join(cb, ["band_id", "band_value"])
+        bb.hint("merge").join(cb.hint("merge"), ["band_id", "band_value"])
         .groupBy("batch_doc_id")
         .agg(
             F.count_distinct("corpus_doc_id").alias("n_corpus_matches"),
@@ -222,7 +225,7 @@ def incremental_lsh_matches(
     )
     return (
         batch_sigs.select(F.col(id_col).alias("batch_doc_id"))
-        .join(hits, "batch_doc_id", "left")
+        .join(hits.hint("merge"), "batch_doc_id", "left")
         .select(
             "batch_doc_id",
             F.coalesce(F.col("n_corpus_matches"), F.lit(0)).cast("bigint").alias(
@@ -491,7 +494,11 @@ def duplicate_substring_spans(
         .where(F.col("n_occ") >= 2)
         .select("gram")
     )
-    hits = grams.join(dup, "gram").select(
+    # merge hint: the duplicated-gram set GROWS with the corpus while
+    # its through-agg size estimate stays frozen tiny (the r6 derived-
+    # side class); the SMJ reuses the gram partitioning the aggregate
+    # just produced, so the hint costs nothing
+    hits = grams.join(dup.hint("merge"), "gram").select(
         id_col, F.col("pos").cast("bigint").alias("s"),
         (F.col("pos") + (k - 1)).cast("bigint").alias("e"),
     )

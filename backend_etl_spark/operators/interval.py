@@ -47,9 +47,14 @@ def binned_interval_join(
     if how != "left":
         raise ValueError(f"how must be inner|left, got {how!r}")
     # left join = in-band matches ∪ null-extended unmatched left rows
-    # (left rows must be distinct for the anti-join identity to hold)
+    # (left rows must be distinct for the anti-join identity to hold).
+    # merge hint: the matched-left set GROWS with the input while its
+    # through-join/distinct size estimate stays frozen tiny (the r6
+    # derived-side class) — unhinted, the static planner broadcasts it
     unmatched = left.join(
-        inner.select(*left.columns).distinct(), left.columns, "left_anti"
+        inner.select(*left.columns).distinct().hint("merge"),
+        left.columns,
+        "left_anti",
     )
     nulled = unmatched.select(
         "*",

@@ -217,7 +217,10 @@ def lsh_bucket_topk(
     them once)."""
     base = corpus.select(F.col(id_col), F.col(vec_col))
     sigs = lsh_signatures(base, id_col, vec_col, n_bits)
-    with_sig = base.join(sigs, id_col)
+    # merge hint: sigs has one row per CORPUS vector but its through-agg
+    # size estimate is frozen tiny, so the static planner would
+    # auto-broadcast a corpus-sized relation (the r6 derived-side class)
+    with_sig = base.join(sigs.hint("merge"), id_col)
     return ivf_topk(
         with_sig,
         with_sig.where(query_pred),

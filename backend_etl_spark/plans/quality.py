@@ -139,6 +139,157 @@ def assert_scale_ready(
         raise AssertionError("; ".join(problems) + "\n--- plan ---\n" + plan_text(df))
 
 
+#: field-name fingerprints of the two true dimension tables — the only
+#: relations whose RAW scans are always broadcast-sized by design
+#: (nation 25 rows, region 5 rows at every SF)
+_DIM_FIELD_PREFIXES = ("n_", "r_")
+
+
+def derived_broadcasts(df: DataFrame) -> list[str]:
+    """BroadcastExchange subtrees whose input is DERIVED from a
+    corpus-scale relation via a keyed aggregate or a join — the r6 sf1
+    failure class: Spark's size estimate for a relation is frozen at
+    scan time and never updated through joins/aggregates, so a derived
+    side that GROWS with the corpus (LSH candidate pairs: 41.7k rows at
+    sf0.1 -> 3.8M at sf1) keeps its tiny estimate and gets
+    auto-broadcast until the driver dies. Returns one description per
+    offending exchange; [] is the 100 TB-safe state.
+
+    Sanctioned shapes (not flagged):
+    - raw scans, corpus-sized or not: their estimates come from real
+      file statistics, so the auto-broadcast threshold sees the truth
+      (and grows past it with the data);
+    - sides whose ROOT (through row-preserving unary nodes) is a
+      key-less aggregate or a limit/top-k: ≤1 row / ≤k rows by
+      construction at any SF, whatever the subtree below computed;
+    - LocalTableScan/in-memory literals: driver-sized already
+      (LogicalRDD/localCheckpoint relations additionally carry
+      unknown=huge stats, so the planner never auto-broadcasts them);
+    - joins/aggregates whose subtree touches no corpus-table scan.
+
+    Keyed aggregates over corpus scans CAN be legitimately bounded
+    (group by a closed status/priority domain, a sketch's cell grid,
+    a calendar bucket) — those are whitelisted BY NAME in the
+    catalog-wide gate with the boundedness argument, so every
+    exception is visible and justified in one place.
+    """
+    plan = df._jdf.queryExecution().executedPlan()
+    flags: list[str] = []
+
+    def _cls(node) -> str:
+        return node.getClass().getSimpleName()
+
+    def _children(node):
+        ch = node.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def _subtree_facts(node, facts: dict) -> None:
+        name = _cls(node)
+        if name == "AdaptiveSparkPlanExec":
+            _subtree_facts(node.executedPlan(), facts)
+            return
+        if name.endswith("QueryStageExec"):
+            _subtree_facts(node.plan(), facts)
+            return
+        if name == "ReusedExchangeExec":
+            _subtree_facts(node.child(), facts)
+            return
+        if "Join" in name or name == "CartesianProductExec":
+            facts["joins"].append(name)
+        if name.endswith("AggregateExec"):
+            try:
+                keyed = node.groupingExpressions().size() > 0
+            except Exception:
+                keyed = True  # unknown aggregate shape: be conservative
+            if keyed:
+                facts["keyed_aggs"].append(name)
+        if name in ("FileSourceScanExec", "BatchScanExec"):
+            try:
+                fields = list(node.schema().fieldNames())
+            except Exception:
+                fields = []
+            dim = fields and all(
+                f.startswith(_DIM_FIELD_PREFIXES) for f in fields
+            )
+            (facts["dim_scans"] if dim else facts["corpus_scans"]).append(
+                ",".join(fields[:4])
+            )
+        for c in _children(node):
+            _subtree_facts(c, facts)
+
+    def _root_bounded(node) -> bool:
+        """True when the broadcast input's ROOT shrinks to a bounded
+        cardinality regardless of its subtree: a key-less (global)
+        aggregate or a limit/top-k, reached through single-child
+        row-preserving nodes."""
+        cur = node
+        while True:
+            name = _cls(cur)
+            if name.endswith("AggregateExec"):
+                try:
+                    return cur.groupingExpressions().size() == 0
+                except Exception:
+                    return False
+            if "Limit" in name or name == "TakeOrderedAndProjectExec":
+                return True
+            ch = _children(cur)
+            if len(ch) != 1:
+                return False
+            if name in (
+                "ProjectExec",
+                "FilterExec",
+                "SortExec",
+                "CoalesceExec",
+                "ShuffleExchangeExec",
+                "BroadcastExchangeExec",
+                "WholeStageCodegenExec",
+                "InputAdapter",
+                "ColumnarToRowExec",
+                "AQEShuffleReadExec",
+            ):
+                cur = ch[0]
+                continue
+            return False
+
+    def _walk(node) -> None:
+        name = _cls(node)
+        if name == "AdaptiveSparkPlanExec":
+            _walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            _walk(node.plan())
+            return
+        if name == "BroadcastExchangeExec":
+            if _root_bounded(node):
+                for c in _children(node):
+                    _walk(c)
+                return
+            facts = {
+                "joins": [],
+                "keyed_aggs": [],
+                "corpus_scans": [],
+                "dim_scans": [],
+            }
+            for c in _children(node):
+                _subtree_facts(c, facts)
+            derived = facts["corpus_scans"] and (
+                facts["joins"] or facts["keyed_aggs"]
+            )
+            if derived:
+                flags.append(
+                    f"broadcast of derived side: joins={facts['joins']} "
+                    f"keyed_aggs={facts['keyed_aggs']} "
+                    f"corpus_scans={facts['corpus_scans'][:3]}"
+                )
+            # keep walking inside: a nested exchange deeper in the
+            # broadcast subtree is a separate decision
+        for c in _children(node):
+            _walk(c)
+
+    _walk(plan)
+    return flags
+
+
 def scanned_files(df: DataFrame) -> int:
     """Total "number of files read" across the plan's file scans, read
     from the executed plan's metrics AFTER running the query — the
