@@ -306,7 +306,10 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between shuffling the whole fact table and shuffling the
     matching slice. No false negatives (Bloom 1970), so the result is
     provably identical to the plain join the oracle runs; false
-    positives are removed by the (broadcast) join itself.
+    positives are removed by the exactness join itself — which carries
+    a merge hint, because the build side is a corpus-FRACTION (14% of
+    orderkeys), not a dimension: the bloom bits are the broadcastable
+    summary of the key set precisely because the key set itself is not.
     """
     tune(spark)
     orders = load_table(spark, sf_dir, "orders").where(
@@ -324,7 +327,7 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pruned.join(F.broadcast(build), pruned.l_orderkey == build.o_orderkey)
+        pruned.join(build.hint("merge"), pruned.l_orderkey == build.o_orderkey)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),

@@ -552,7 +552,9 @@ def cut_substring_spans(
         ).alias("spans")
     )
     empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
-    staged = df.join(agg, id_col, "left").select(
+    # merge hint: the per-doc span relation grows with the corpus while
+    # its through-agg estimate stays frozen tiny (r6 derived-side class)
+    staged = df.join(agg.hint("merge"), id_col, "left").select(
         F.col(id_col),
         tokens(F.col(text_col)).alias("t"),
         F.coalesce(F.col("spans"), empty).alias("sp"),

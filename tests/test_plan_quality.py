@@ -646,3 +646,87 @@ def test_jaccard_candidate_side_never_broadcast(spark, sf_dir):
     text = quality.plan_text(df)
     assert "BroadcastHashJoin" not in text, text
     assert "SortMergeJoin" in text, text
+
+
+# ---------------------------------------------------------------------------
+# catalog-wide derived-side broadcast gate (r7 — VERDICT r6 item 2)
+# ---------------------------------------------------------------------------
+
+#: Broadcasts of relations DERIVED from corpus scans that are
+#: nonetheless BOUNDED at every scale — each exception names its
+#: boundedness argument. Anything not listed here that broadcasts a
+#: keyed-aggregate/join over a corpus table fails the gate.
+BOUNDED_BROADCAST_WHITELIST = {
+    # fixed sketch geometry: d×w CMS cells / 2^p or m registers —
+    # cardinality set by constants, not data
+    "sketch_count_min_bounded": "CMS cell grid (d*w rows)",
+    "sketch_hll_datasketches_bounded": "HLL register set (2^p rows)",
+    "sketch_loglog_distinct_portable": "LogLog register set (m rows)",
+    "sketch_loglog_merge_union": "LogLog register sets (m rows each)",
+    # closed key domains
+    "curation_temperature_resample": "per-language totals (closed lang set)",
+    "timeseries_gap_fill_hourly": "(event_type x calendar-hour) cells",
+    "timeseries_ewma_anomaly": "(event_type x calendar-hour) cells",
+    # fixed constants of the algorithm
+    "curation_token_budget_pack": "per-shard totals (fixed shard count)",
+    "pack_sequences_2048": "per-shard totals (fixed shard count)",
+    # query-set / eval-set bounded (a filter to a literal id set or a
+    # literal term list precedes the aggregate)
+    "knn_lsh_bucketed": "query rows (vec_id < 20 filter) broadcast",
+    "knn_lsh_recall_at_5": "query rows (vec_id < 20 filter) broadcast",
+    "decontam_ngram_overlap": "eval-set n-grams (doc_id < 10 filter)",
+    "text_bm25_ranking": "query-term IDF (|Q| rows)",
+    "rag_hybrid_rrf_fusion": "query-term IDF / per-query top-k",
+    # model artifacts: vocabulary-(Zipf-)bounded, the scoring-table
+    # broadcast every LM-filter pipeline ships (production caps vocab)
+    "quality_bigram_logprob": "bigram LM model (vocab-bounded)",
+    "quality_trigram_backoff": "n-gram LM model (vocab-bounded)",
+    "tfidf_top_terms": "per-term document frequency (vocab-bounded)",
+    # control-plane-sized (reference S11: tenants are a bounded
+    # operational set, not a corpus-scaled one)
+    "incremental_watermark_scan": "per-tenant watermark relation",
+}
+
+
+def test_no_catalog_query_broadcasts_derived_corpus_side(spark, sf_dir):
+    """Catalog-wide extinction gate for the r6 sf1 failure class: Spark
+    freezes size estimates at scan time, so a join side DERIVED from a
+    corpus table via keyed aggregation or joins keeps a tiny estimate
+    while its true cardinality grows with the data — and gets
+    auto-broadcast until the driver dies (observed at sf1: the LSH
+    candidate relation, 41.7k rows at sf0.1 -> 3.8M at sf1, OOMed a
+    1 GB driver). Every such side must carry a merge hint; bounded
+    exceptions are whitelisted above WITH their boundedness argument."""
+    skip = {"streaming_"}  # streaming entries execute on build, not lazily
+    offenders: dict[str, list[str]] = {}
+    broken: list[str] = []
+    for name, spec in REGISTRY.items():
+        if any(name.startswith(p) for p in skip):
+            continue
+        if name in BOUNDED_BROADCAST_WHITELIST:
+            continue
+        try:
+            flags = quality.derived_broadcasts(spec.fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - collect, report per-entry
+            broken.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+            continue
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"derived-side broadcasts: {offenders}"
+    assert not broken, "entries failed to build/analyze:\n" + "\n".join(broken)
+
+
+def test_derived_broadcast_checker_fires(spark, sf_dir):
+    """Counter-test: the checker must FLAG a deliberately constructed
+    derived-side broadcast (keyed aggregate over a corpus table, force-
+    broadcast), and must NOT flag the same join once merge-hinted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    bad = li.join(F.broadcast(per_key), "l_orderkey")
+    assert quality.derived_broadcasts(bad), "checker failed to fire"
+    good = li.join(per_key.hint("merge"), "l_orderkey")
+    assert not quality.derived_broadcasts(good)
+    # root-bounded exemption: a global aggregate broadcast is fine
+    tot = li.agg(F.sum("l_quantity").alias("t"))
+    ok = li.crossJoin(F.broadcast(tot))
+    assert not quality.derived_broadcasts(ok)
