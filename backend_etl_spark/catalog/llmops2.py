@@ -1841,6 +1841,8 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     from backend_etl_spark.functions.scalars import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    ent = quality_char_entropy(spark, sf_dir).select("doc_id", "char_entropy_bits")
+    rep = textops.repetition_metrics(docs).select("doc_id", "keep")
     lm = quality_bigram_logprob(spark, sf_dir).select("doc_id", "avg_log2p")
     base = docs.select(
         "doc_id",
@@ -1848,16 +1850,19 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         dedup.content_key(F.col("text")).alias("ck"),
         F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
     )
-    # entropy + repetition gates are pure per-row expressions — applied
-    # INLINE on the scan (identical arithmetic to quality_char_entropy /
-    # repetition_metrics; tests/test_llmops2.py pins the equivalence).
-    # Only the LM gate needs a join: its score depends on the global
-    # bigram model.
+    # The per-doc metric relations join on doc_id rather than computing
+    # entropy/repetition inline on the scan: inline was measured SLOWER
+    # end-to-end (r7) — fusing the fold expressions into one mega-
+    # projection forces a fresh multi-second janino compile unique to
+    # this entry, while the join form reuses the exact generated code
+    # the standalone quality entries already compiled.
     q = (
-        base.join(lm, "doc_id", "left")
+        base.join(ent, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id", "left")
         .where(
-            (textops.char_entropy_bits(F.col("text")) >= 3.9)
-            & textops.repetition_keep(F.col("text"))
+            (F.col("char_entropy_bits") >= 3.9)
+            & F.col("keep")
             & F.coalesce(F.col("avg_log2p") >= -4.95, F.lit(False))
         )
         .select("doc_id", "text", "ck", "ntok")
@@ -1886,10 +1891,13 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         .select(F.col("db").alias("doc_id"))
         .distinct()
     )
-    # the nd chain (MinHash signatures + band self-join) is the funnel's
-    # most expensive stage and has TWO consumers (the fin stage below
-    # and the n_after_near_dedup count) — checkpoint so it runs once
-    nd = ex.join(drop, "doc_id", "anti").localCheckpoint(eager=True)
+    # nd stays LAZY despite two consumers (fin's checkpoint and the
+    # n_after_near_dedup count): eager-checkpointing it was measured
+    # 2.4 s SLOWER at sf0.1 (r7) — the materialization barrier plus the
+    # block-manager write of full-text rows costs more than the one
+    # recompute it saves, since the band join's q-side input is already
+    # a checkpoint
+    nd = ex.join(drop, "doc_id", "anti")
     cont = decontam_ngram_overlap(spark, sf_dir).select("doc_id")
     # fin feeds five downstream aggregates (count, 3 split counts, token
     # sum) — checkpoint so the dedup/decontam chain computes once
