@@ -484,3 +484,34 @@ def test_pack_sequences_conservation(spark, sf_dir):
             # longer depend on where the empty doc's offset happens to land
             span = 0
         assert r["n_seqs_spanned"] == span
+
+
+def test_expression_helpers_equal_relation_forms(spark, sf_dir):
+    """textops.char_entropy_bits / repetition_keep (the bare-expression
+    forms for inline pipeline filters) must produce EXACTLY the values
+    their relation forms (char_entropy / repetition_metrics) emit —
+    same arithmetic, no join-back. Bit-equality, not approx."""
+    from backend_etl_spark.operators import textops
+    from backend_etl_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = {
+        r["doc_id"]: (r["e"], r["k"])
+        for r in docs.select(
+            "doc_id",
+            textops.char_entropy_bits(F.col("text")).alias("e"),
+            textops.repetition_keep(F.col("text")).alias("k"),
+        ).collect()
+    }
+    ent = {
+        r["doc_id"]: r["char_entropy_bits"]
+        for r in textops.char_entropy(docs).collect()
+    }
+    rep = {
+        r["doc_id"]: r["keep"]
+        for r in textops.repetition_metrics(docs).collect()
+    }
+    assert inline.keys() == ent.keys() == rep.keys()
+    for d, (e, k) in inline.items():
+        assert e == ent[d], (d, e, ent[d])
+        assert k == rep[d], (d, k, rep[d])
