@@ -109,7 +109,11 @@ def stream_dedup_against_corpus(
         out = dedup.incremental_lsh_matches(bsig, corpus_sigs, "doc_id")
         write_idempotent(out, sink_path, ["batch_doc_id"])
 
-    with drain_conf(spark):
+    # n=None: no stream-level stateful operator here — the dedup work is
+    # per-batch BATCH compute inside foreachBatch (dropDuplicates is on
+    # the batch frame), so the partition count is task parallelism, not
+    # state-store count (streaming/__init__ docstring)
+    with drain_conf(spark, n=None):
         (
             stream.writeStream.foreachBatch(_probe)
             .option("checkpointLocation", checkpoint_dir)
