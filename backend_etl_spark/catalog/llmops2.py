@@ -261,9 +261,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms — the classic keyword/relevance
     operator, as explode → two aggregations → join → windowed top-k.
 
-    The document-frequency table is vocabulary-sized; AQE broadcasts it
-    when small and shuffle-joins when not — no driver-side collection of
-    the vocabulary (it can be billions of terms at corpus scale).
+    The tf↔df join is merge-hinted: BOTH sides grow with the corpus
+    (tf per (doc, term); df per distinct term — billions of terms at
+    crawl scale, so neither side is broadcastable and no vocabulary is
+    ever collected driver-side). Left to AQE at sf1, the measured plan
+    broadcast the 1.19M-row tf side — fine under the 64 MB threshold
+    there, a driver-killer past it; SMJ is the shape that survives any
+    vocabulary.
     """
     tune(spark)
     from backend_etl_spark.functions.scalars import tokens
@@ -274,7 +278,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6)
-    j = tf.join(dfreq, "term").select(
+    j = tf.hint("merge").join(dfreq, "term").select(
         "doc_id", "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -770,8 +774,13 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select("bigram", lp.alias("lp"))
     )
+    # broadcast the MODEL side explicitly: left to AQE, the measured
+    # scoring join at sf1 broadcast the 2.7M-row corpus bigram relation
+    # (under the 64 MB threshold there, a driver-killer past it) instead
+    # of the V^2-bounded lp table (961 rows at sf1) — shipping the capped
+    # LM artifact map-side is the production discipline, so pin it.
     per_doc = (
-        bg.join(lp_per_bigram, "bigram")
+        bg.join(F.broadcast(lp_per_bigram), "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -2014,7 +2023,13 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spl.agg(
             *[
-                F.sum(F.when(F.col("split") == s, 1).otherwise(0))
+                # coalesce: SUM over an empty relation is NULL; the old
+                # per-filter count form returned 0 — keep that contract
+                # when an aggressively-filtered tiny SF empties spl.
+                F.coalesce(
+                    F.sum(F.when(F.col("split") == s, 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias(f"n_{s}")
                 for s in ("train", "val", "test")
@@ -2726,8 +2741,12 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(18,6)").alias("lp"),
         )
     )
+    # broadcast the MODEL side explicitly (see quality_bigram_logprob:
+    # AQE at sf1 broadcast the 2.6M-row corpus trigram relation instead
+    # of the V^3-bounded score table, 29791 rows there) — the backoff
+    # score table is the capped LM artifact, shipped map-side.
     per_doc = (
-        tg.join(scored, "g")
+        tg.join(F.broadcast(scored), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),

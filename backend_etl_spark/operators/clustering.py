@@ -197,7 +197,7 @@ def seed_centroids(
 _FIT_CACHE: dict[tuple, dict[int, list[float]]] = {}
 
 
-def _plan_key(df: DataFrame) -> tuple[str, tuple, ...] | None:
+def _plan_key(df: DataFrame) -> tuple[str, tuple] | None:
     """Canonical identity of a DataFrame's logical input: the analyzed
     plan with Catalyst's per-instance expression ids (#123) stripped —
     two plans over the same files with the same expressions normalize

@@ -208,9 +208,20 @@ def derived_broadcasts(df: DataFrame) -> list[str]:
                 fields = list(node.schema().fieldNames())
             except Exception:
                 fields = []
-            dim = fields and all(
+            dim = bool(fields) and all(
                 f.startswith(_DIM_FIELD_PREFIXES) for f in fields
             )
+            if dim:
+                # field prefixes alone can false-positive on a corpus
+                # projection pruned to n_*/r_* columns (e.g. a
+                # documents scan reading only n_tokens) — require the
+                # scan's file location to actually be one of the two
+                # dimension tables before exempting it from the gate.
+                try:
+                    desc = node.toString()
+                except Exception:
+                    desc = ""
+                dim = ("nation.parquet" in desc) or ("region.parquet" in desc)
             (facts["dim_scans"] if dim else facts["corpus_scans"]).append(
                 ",".join(fields[:4])
             )
@@ -319,3 +330,37 @@ def scanned_files(df: DataFrame) -> int:
 
     _walk(plan)
     return int(total)
+
+
+def broadcast_row_counts(df: DataFrame) -> list[int]:
+    """Runtime ``numOutputRows`` of every BroadcastExchange in the
+    EXECUTED plan (the query is run here) — the measured cardinality
+    of each side the driver actually collected and shipped. This is
+    what turns a whitelisted "this broadcast is bounded" argument into
+    a per-SF fact: assert the returned counts under an explicit bound
+    at the largest local SF (tests/test_broadcast_bounds_sf1.py).
+    ReusedExchange references are skipped (the original is counted)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    counts: list[int] = []
+
+    def _walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            _walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            _walk(node.plan())
+            return
+        if name == "ReusedExchangeExec":
+            return
+        if name == "BroadcastExchangeExec":
+            m = node.metrics()
+            if m.contains("numOutputRows"):
+                counts.append(int(m.apply("numOutputRows").value()))
+        ch = node.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i))
+
+    _walk(plan)
+    return counts

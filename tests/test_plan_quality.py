@@ -677,11 +677,16 @@ BOUNDED_BROADCAST_WHITELIST = {
     "decontam_ngram_overlap": "eval-set n-grams (doc_id < 10 filter)",
     "text_bm25_ranking": "query-term IDF (|Q| rows)",
     "rag_hybrid_rrf_fusion": "query-term IDF / per-query top-k",
-    # model artifacts: vocabulary-(Zipf-)bounded, the scoring-table
-    # broadcast every LM-filter pipeline ships (production caps vocab)
-    "quality_bigram_logprob": "bigram LM model (vocab-bounded)",
-    "quality_trigram_backoff": "n-gram LM model (vocab-bounded)",
-    "tfidf_top_terms": "per-term document frequency (vocab-bounded)",
+    # model artifacts: vocabulary-bounded, the scoring-table broadcast
+    # every LM-filter pipeline ships (production caps vocab). r8: the
+    # broadcast is now EXPLICIT on the model side — measured at sf1,
+    # AQE left alone broadcast the corpus-sized n-gram relation instead
+    # (2.7M rows, under the 64 MB threshold there only by luck of the
+    # local SF). Measured model sides at sf1: 961 (V^2) / 29791 (V^3).
+    # (tfidf_top_terms left this list in r8: its tf<->df join is
+    # merge-hinted — both sides corpus-scaled, nothing broadcastable.)
+    "quality_bigram_logprob": "bigram LM model (vocab-bounded, V^2)",
+    "quality_trigram_backoff": "n-gram LM model (vocab-bounded, V^3)",
     # control-plane-sized (reference S11: tenants are a bounded
     # operational set, not a corpus-scaled one)
     "incremental_watermark_scan": "per-tenant watermark relation",
