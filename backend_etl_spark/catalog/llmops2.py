@@ -1905,8 +1905,19 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     # 2.4 s SLOWER at sf0.1 (r7) — the materialization barrier plus the
     # block-manager write of full-text rows costs more than the one
     # recompute it saves, since the band join's q-side input is already
-    # a checkpoint
-    nd = ex.join(drop, "doc_id", "anti")
+    # a checkpoint. r8: the COUNT rides an Observation collected during
+    # fin's eager checkpoint below, so the band join runs exactly once
+    # (its second consumer, corpus_pipeline_funnel's count job, is gone
+    # — the r7 postmortem's remaining funnel lever). CollectMetrics is
+    # a pushdown barrier, so fin's filter/anti-join cannot slide below
+    # the observe and shrink the observed count.
+    from pyspark.sql import Observation
+
+    nd_obs = Observation()
+    nd = ex.join(drop, "doc_id", "anti").observe(
+        nd_obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_after_near_dedup"),
+    )
     cont = decontam_ngram_overlap(spark, sf_dir).select("doc_id")
     # fin feeds five downstream aggregates (count, 3 split counts, token
     # sum) — checkpoint so the dedup/decontam chain computes once
@@ -1916,7 +1927,7 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=True)
     )
     spl = curation.leakage_safe_split(fin, "doc_id", dedup.content_key(F.col("text")))
-    return docs, q, ex, nd, fin, spl
+    return docs, q, ex, nd, nd_obs, fin, spl
 
 
 def corpus_funnel_observed(
@@ -1937,7 +1948,7 @@ def corpus_funnel_observed(
     from backend_etl_spark import sink
 
     tune(spark)
-    docs, q, ex, nd, fin, spl = _funnel_stages(spark, sf_dir)
+    docs, q, ex, nd, _nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
     out: dict[str, int] = {}
     out["n_raw"] = docs.count()
     out["n_after_quality"] = sink.write_idempotent(
@@ -2002,19 +2013,26 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists each stage's survivor set and the counts ride those writes
     as Observations (sink.write_idempotent discipline)."""
     tune(spark)
-    docs, q, ex, nd, fin, spl = _funnel_stages(spark, sf_dir)
+    docs, q, ex, nd, nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
 
     def one(df, name):
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
 
     # fused 1-row aggregates: the decontam count and token budget ride
     # ONE pass over fin, and all three split counts ride ONE pass over
-    # spl (three filtered counts = three jobs over the same checkpoint)
+    # spl (three filtered counts = three jobs over the same checkpoint).
+    # n_after_near_dedup was collected by nd's Observation during fin's
+    # eager checkpoint (the engine counted it; Observation.get already
+    # returned) — re-counting nd here would re-run the whole band join.
     counts = [
         one(docs, "n_raw"),
         one(q, "n_after_quality"),
         one(ex, "n_after_exact_dedup"),
-        one(nd, "n_after_near_dedup"),
+        spark.range(1).select(
+            F.lit(int(nd_obs.get["n_after_near_dedup"]))
+            .cast("bigint")
+            .alias("n_after_near_dedup")
+        ),
         fin.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_after_decontam"),
             F.coalesce(F.sum("ntok"), F.lit(0))

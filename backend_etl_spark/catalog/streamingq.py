@@ -168,8 +168,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     src, sink, ckpt = _dirs("incrdedup")
     docs = load_table(spark, sf_dir, "documents")
+    # 2 files + the redelivery file at 2 files/trigger = 2 real
+    # micro-batches (the r7 ivfpq_append A/B: per-batch fixed cost
+    # dominates tiny batches, so multi-batch + at-least-once realism is
+    # intact at half the drain cost; "any file->batch split" is the
+    # entry's own contract)
     incremental.stage_docs_batch_source(
-        spark, docs.where(F.col("doc_id") % 10 >= 8), src, redeliver=50
+        spark, docs.where(F.col("doc_id") % 10 >= 8), src, redeliver=50, files=2
     )
     incremental.stream_dedup_against_corpus(
         spark, docs.where(F.col("doc_id") % 10 < 8), src, sink, ckpt

@@ -139,6 +139,48 @@ def _assign_np_udf(centroids: dict[int, list[float]]):
     return _assign
 
 
+def _assign_np_udf_multi(cent_by_tag: dict[int, dict[int, list[float]]]):
+    """Tag-dispatched variant of _assign_np_udf for kmeans_fit_multi's
+    lock-step phases: one Arrow-batched kernel serves every big-k tag
+    in the same job, selecting that tag's centroid matrix per row
+    block. Numerics per tag are EXACTLY _assign_np_udf's (same
+    sequential dim fold, same floor(d*1e6+0.5)/1e6 rounding, same
+    first-minimum tie-break), so the memoized result for a tag is
+    bit-identical to an individual kmeans_fit over it. Rows whose tag
+    is not in ``cent_by_tag`` (literal-path tags sharing the
+    projection under a CASE WHEN) get a zero struct the CASE never
+    selects."""
+    mats = {
+        int(t): (
+            np.array(sorted(c), dtype=np.int64),
+            np.array([c[cid] for cid in sorted(c)], dtype=np.float64),
+        )
+        for t, c in cent_by_tag.items()
+    }
+
+    @F.pandas_udf("struct<cid:int, d:double>")
+    def _assign(tag: pd.Series, s: pd.Series) -> pd.DataFrame:
+        tags = tag.to_numpy()
+        out_cid = np.zeros(len(tags), dtype="int32")
+        out_d = np.zeros(len(tags), dtype=np.float64)
+        for t, (cids, C) in mats.items():
+            mask = tags == t
+            if not mask.any():
+                continue
+            X = np.stack(s[mask].to_numpy()).astype(np.float64)
+            D = np.zeros((X.shape[0], C.shape[0]))
+            for j in range(X.shape[1]):
+                diff = X[:, j, None] - C[None, :, j]
+                D += diff * diff
+            D = np.floor(D * 1e6 + 0.5) / 1e6
+            idx = D.argmin(axis=1)
+            out_cid[mask] = cids[idx].astype("int32")
+            out_d[mask] = D[np.arange(len(idx)), idx]
+        return pd.DataFrame({"cid": out_cid, "d": out_d})
+
+    return _assign
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: dict[int, list[float]],
@@ -280,19 +322,25 @@ def kmeans_fit(
 
 def kmeans_fit_multi(
     dfs: dict[int, DataFrame],
-    k: int,
-    iters: int,
+    k: int | dict[int, int],
+    iters: int | dict[int, int],
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> dict[int, dict[int, list[float]]]:
-    """Lock-step Lloyd's over SEVERAL input relations sharing (k,
-    iters) — the PQ-codebook case, where every subspace slice of the
-    same corpus trains its own quantizer. Numerically identical to
-    calling kmeans_fit per relation (per-tag seeds/updates never mix:
-    every aggregate groups by the tag), but the driver pays ONE job per
-    phase for all tags instead of one per tag per phase — at 100 TB an
-    M-subspace PQ train is M map-only scans folded into each pass
-    instead of M separate passes.
+    """Lock-step Lloyd's over SEVERAL input relations — the PQ-codebook
+    case, where every subspace slice of the same corpus trains its own
+    quantizer. Numerically identical to calling kmeans_fit per relation
+    (per-tag seeds/updates never mix: every aggregate groups by the
+    tag), but the driver pays ONE job per phase for all tags instead of
+    one per tag per phase — at 100 TB an M-subspace PQ train is M
+    map-only scans folded into each pass instead of M separate passes.
+
+    ``k``/``iters`` may be a single int shared by all tags or a per-tag
+    dict (r8: lets a coarse IVF fit and its PQ codebooks — different k,
+    different iters — train in the same lock-step jobs; a tag stops
+    updating once ITS rounds are exhausted, and each phase's job runs
+    over the still-active tags only, so the per-tag update sequence is
+    identical to an individual fit).
 
     Results are memoized under each relation's INDIVIDUAL kmeans_fit
     cache key, so a later plain kmeans_fit over any of the slices hits.
@@ -300,9 +348,11 @@ def kmeans_fit_multi(
     from pyspark.sql.window import Window
 
     tags = sorted(dfs)
+    ks = {t: (k[t] if isinstance(k, dict) else k) for t in tags}
+    its = {t: (iters[t] if isinstance(iters, dict) else iters) for t in tags}
     keys = {
         t: (
-            (_plan_key(dfs[t]), k, iters, id_col, emb_col)
+            (_plan_key(dfs[t]), ks[t], its[t], id_col, emb_col)
             if _plan_key(dfs[t]) is not None
             else None
         )
@@ -334,7 +384,7 @@ def kmeans_fit_multi(
             f"kmeans_fit_multi: empty input relation(s) for tag(s) {empty} "
             "— every tagged DataFrame must contribute at least one vector"
         )
-    stride = {t: max(counts[t] // k, 1) for t in tags}
+    stride = {t: max(counts[t] // ks[t], 1) for t in tags}
     stride_expr = F.lit(None)
     for t in tags:
         stride_expr = (
@@ -344,11 +394,18 @@ def kmeans_fit_multi(
         )
     # one job: per-tag strided seeds (row_number == orderBy+limit on
     # unique ids)
+    k_expr = F.lit(None)
+    for t in tags:
+        k_expr = (
+            F.when(F.col("_tag") == t, F.lit(ks[t]))
+            if t == tags[0]
+            else k_expr.when(F.col("_tag") == t, F.lit(ks[t]))
+        )
     w = Window.partitionBy("_tag").orderBy("_id")
     seed_rows = (
         tagged.where((F.col("_id") % stride_expr) == 0)
         .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
+        .where(F.col("_rn") <= k_expr)
         .select("_tag", "_rn", "_v")
         .collect()
     )
@@ -356,23 +413,44 @@ def kmeans_fit_multi(
     for r in sorted(seed_rows, key=lambda r: (r["_tag"], r["_rn"])):
         cents[r["_tag"]][r["_rn"] - 1] = [float(x) for x in r["_v"]]
 
-    for _ in range(iters - 1):
-        assign = F.lit(None)
-        for t in tags:
+    for phase in range(max(its.values()) - 1):
+        # a tag updates exactly its[t]-1 times, then freezes — each
+        # phase's single job runs over the still-active tags only.
+        # Per-tag assignment path follows the SAME NP_ASSIGN_MIN_K rule
+        # as assign_clusters, so the memoized result for every tag is
+        # bit-identical to what an individual kmeans_fit over that tag
+        # would cache: k >= threshold rides the Arrow numpy kernel
+        # (tag-dispatched, one UDF for all such tags), smaller k keeps
+        # the literal Catalyst argmin — which also keeps the big-k
+        # literal-centroid expressions (hundreds of py4j literals +
+        # a fresh janino compile per phase) off the driver.
+        active = [t for t in tags if phase < its[t] - 1]
+        lit_tags = [t for t in active if ks[t] < NP_ASSIGN_MIN_K]
+        np_tags = [t for t in active if ks[t] >= NP_ASSIGN_MIN_K]
+        assign = None
+        for t in lit_tags:
             arg = F.array_min(_centroid_structs(cents[t], F.col("_v")))["cid"]
             assign = (
                 F.when(F.col("_tag") == t, arg)
-                if t == tags[0]
+                if assign is None
                 else assign.when(F.col("_tag") == t, arg)
             )
+        if np_tags:
+            kern = _assign_np_udf_multi({t: cents[t] for t in np_tags})(
+                F.col("_tag"), F.col("_v")
+            )["cid"]
+            assign = kern if assign is None else assign.otherwise(kern)
         rows = (
-            tagged.withColumn("_c", assign)
+            tagged.where(F.col("_tag").isin([int(t) for t in active]))
+            .withColumn("_c", assign)
             .select("_tag", "_c", F.posexplode("_v").alias("dim", "val"))
             .groupBy("_tag", "_c", "dim")
             .agg(F.round(F.avg("val"), CENT_DP).alias("cv"))
             .collect()
         )
-        new_cents: dict[int, dict[int, list[float]]] = {t: {} for t in tags}
+        new_cents: dict[int, dict[int, list[float]]] = {
+            t: ({} if t in active else cents[t]) for t in tags
+        }
         by_tc: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
             by_tc.setdefault((r["_tag"], r["_c"]), {})[r["dim"]] = r["cv"]

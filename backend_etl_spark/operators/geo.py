@@ -127,7 +127,13 @@ def within_radius_join(
         "cell", F.explode(neighbor_cells(bcx, bcy, dxr, dyr))
     ).select("*", "cell.cx", "cell.cy").drop("cell")
     pcx, pcy = grid_cell(plat, plon, lat0, lon0, cell_deg)
-    p = probe.withColumn("cx", pcx).withColumn("cy", pcy)
+    # spread: the probe side carries the post-join haversine over every
+    # cell candidate — the expensive stage — and a small-file probe scan
+    # arrives as 1-2 splits, serializing it on one core (measured 3.7 s
+    # -> ~1 s at sf0.1). No-op at real scale (see partitioning.spread).
+    from backend_etl_spark.operators.partitioning import spread
+
+    p = spread(probe).withColumn("cx", pcx).withColumn("cy", pcy)
     cand = p.join(F.broadcast(b), ["cx", "cy"]).drop("cx", "cy")
     dist = F.round(haversine_km(plat, plon, blat, blon), 4)
     return cand.withColumn("dist_km", dist).where(

@@ -177,14 +177,23 @@ def repetition_metrics(
     ``keep = false``.
 
     All metrics are higher-order array expressions over the token array —
-    no explode, no shuffle, whole-stage-codegen'd: at 100 TB this is a
-    pure map stage. The per-doc top-token count is ONE fold over the
-    sorted token array (longest equal-run; the quality_char_entropy
-    rewrite recipe) — the earlier O(tokens × distinct) transform+filter
-    was the catalog's most expensive map stage (23.6 s at sf0.1, now
+    no explode, whole-stage-codegen'd: at 100 TB this is a pure map
+    stage. The per-doc top-token count is ONE fold over the sorted
+    token array (longest equal-run; the quality_char_entropy rewrite
+    recipe) — the earlier O(tokens × distinct) transform+filter was
+    the catalog's most expensive map stage (23.6 s at sf0.1, now
     ~1 s); an explode → groupBy → join-back would cost two shuffles.
+
+    The input is widened first (``spread``, r8): the folds are the
+    expensive stage, and a small parquet corpus arrives as 1-2
+    row-group splits — unwidened, the whole stage serializes on one
+    core. No-op (zero added shuffle) at real scale, where the scan
+    already carries more splits than cores.
     """
+    from backend_etl_spark.operators.partitioning import spread
+
     exprs = _repetition_exprs(F.col(text_col))
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     return df.select(
         F.col(id_col),
         exprs["n"].cast("bigint").alias("n_tokens"),
@@ -334,7 +343,15 @@ def char_entropy(
     fold needs no outer references; runs are summed in sorted-char order
     and the DuckDB oracle replays the identical operation sequence, so
     the rounded double matches bit-for-bit.
+
+    The input is widened first (``spread``, r8 — see
+    repetition_metrics): the sort+fold is the expensive stage and must
+    not serialize on a 1-2-split small-file scan; zero added shuffle
+    at real scale.
     """
+    from backend_etl_spark.operators.partitioning import spread
+
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     chars = _entropy_chars(F.col(text_col))
     n = F.size(chars)
     dist = F.array_distinct(F.array_sort(chars))

@@ -59,14 +59,18 @@ DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGI
 
 
 def stage_docs_batch_source(
-    spark: SparkSession, docs: DataFrame, out_dir: str, redeliver: int = 0
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    redeliver: int = 0,
+    files: int = 4,
 ) -> None:
     """Materialize an incoming-crawl document batch as a stream-readable
-    source directory, split across files so availableNow produces
-    multiple micro-batches. ``redeliver`` > 0 re-writes the first n docs
-    as an extra file — the reference's overlap-window re-scrape
-    (at-least-once) that the idempotent sink must absorb."""
-    docs.repartition(4).write.mode("overwrite").parquet(out_dir)
+    source directory, split across ``files`` files so availableNow
+    produces multiple micro-batches. ``redeliver`` > 0 re-writes the
+    first n docs as an extra file — the reference's overlap-window
+    re-scrape (at-least-once) that the idempotent sink must absorb."""
+    docs.repartition(files).write.mode("overwrite").parquet(out_dir)
     if redeliver:
         docs.orderBy("doc_id").limit(redeliver).write.mode("append").parquet(out_dir)
 
