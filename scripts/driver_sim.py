@@ -69,6 +69,21 @@ if _only:
 # ledger active, a per-entry crash is recorded and the sweep continues
 # (the driver itself has no ledger and keeps its fail-fast semantics).
 _ledger = os.environ.get("DRIVER_SIM_LEDGER")
+# DRIVER_SIM_RESUME=1 (requires a ledger): skip entries whose LATEST
+# ledger row for this sf_dir is already a match — long sf1 sweeps
+# interrupted mid-run continue where they left off instead of paying
+# the finished entries again. Non-match rows (mismatch/error) re-run.
+if _ledger and os.environ.get("DRIVER_SIM_RESUME") and os.path.exists(_ledger):
+    _done_latest: dict[str, str] = {}
+    with open(_ledger) as _fh:
+        for _line in _fh:
+            _rec = json.loads(_line)
+            if _rec.get("sf_dir") == SF_DIR:
+                _done_latest[_rec["name"]] = _rec["status"]
+    _skip = {n for n, s in _done_latest.items() if s in ("match", "rows_only")}
+    if _skip:
+        print(f"(resume: skipping {len(_skip)} ledger-green entries)")
+        qs = {n: fn for n, fn in qs.items() if n not in _skip}
 # DRIVER_SIM_ALT_ORACLES=1: for the two entries whose SQL oracle is a
 # recursive CTE (the one DuckDB operator that cannot spill — OOMs at
 # sf1, BASELINE §s), substitute the union-find alternate oracle from

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Adjudicate per-entry sf0.1 -> sf1 scaling slopes for the WHOLE catalog.
+
+The decade sweep (scripts/scale_sweep.py) measures 15 representative
+families; this script turns the r7 verdict's "no family super-linear"
+sample claim into a 202-entry fact by reading two full-catalog bench
+records — bench_full.json (the canonical sf0.1 run) and
+bench_full_sf1.json (the same bench.py run with SPARK_GRAFT_SF_DIR
+pointed at the locally generated sf1) — and reporting the log10 time
+ratio per entry (data is 10x, so slope = log10(t_sf1 / t_sf0.1)).
+
+Interpretation mirrors scale_sweep.py: ~1.0 linear, <1 fixed-overhead
+dominated, sustained >1.2 super-linear and plan-audit-worthy. Entries
+faster than FLOOR seconds at BOTH scales are reported but not flagged:
+sub-second jitter produces meaningless ratios (the bench contention
+postmortems, r5/r6).
+
+Writes sf1_slopes.json at the repo root; exits nonzero if any entry
+above the floor has slope > the --max-slope bar (default 1.0, the r7
+"Next round" item #2 acceptance bar).
+
+Usage: python scripts/sf1_slopes.py [--max-slope 1.0] [--floor 1.0]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _times(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        rec = json.load(fh)
+    out = {}
+    for name, t in rec.get("queries", {}).items():
+        if isinstance(t, (int, float)):
+            out[name] = float(t)
+    return out
+
+
+def main() -> None:
+    max_slope = 1.0
+    floor = 1.0
+    argv = sys.argv[1:]
+    if "--max-slope" in argv:
+        max_slope = float(argv[argv.index("--max-slope") + 1])
+    if "--floor" in argv:
+        floor = float(argv[argv.index("--floor") + 1])
+
+    base = _times(os.path.join(HERE, "bench_full.json"))
+    sf1 = _times(os.path.join(HERE, "bench_full_sf1.json"))
+    shared = sorted(set(base) & set(sf1))
+    missing = sorted(set(base) ^ set(sf1))
+
+    rows = []
+    flagged = []
+    for name in shared:
+        b, t = base[name], sf1[name]
+        slope = math.log10(t / b) if b > 0 else float("inf")
+        sub_floor = b < floor and t < floor
+        row = {
+            "name": name,
+            "sf0.1": b,
+            "sf1": t,
+            "slope": round(slope, 3),
+            "sub_floor": sub_floor,
+        }
+        rows.append(row)
+        if slope > max_slope and not sub_floor:
+            flagged.append(row)
+
+    rows.sort(key=lambda r: r["slope"], reverse=True)
+    out = {
+        "n": len(shared),
+        "max_slope_bar": max_slope,
+        "floor_secs": floor,
+        "flagged": flagged,
+        "missing_in_one": missing,
+        "worst10": rows[:10],
+        "slopes": {r["name"]: r["slope"] for r in rows},
+    }
+    with open(os.path.join(HERE, "sf1_slopes.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    print(f"{len(shared)} shared entries; bar slope<={max_slope} "
+          f"(floor {floor}s at both scales)")
+    for r in rows[:15]:
+        mark = " FLAG" if r in flagged else (" (sub-floor)" if r["sub_floor"] else "")
+        print(f"  {r['name']:42s} {r['sf0.1']:8.2f} -> {r['sf1']:8.2f} "
+              f"slope {r['slope']:+.2f}{mark}")
+    if flagged:
+        print(f"FLAGGED {len(flagged)} entries above the bar")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,9 +35,18 @@ def test_repetition_metrics_values(spark):
     assert rows[3]["dup_2gram_frac"] == 0.0 and rows[3]["dup_3gram_frac"] == 0.0
 
 
-def test_repetition_metrics_is_map_only(spark, sf_dir):
-    df = textops.repetition_metrics(load_table(spark, sf_dir, "documents"))
-    assert quality.num_shuffles(df) == 0
+def test_repetition_metrics_adds_no_shuffle_beyond_spread(spark, sf_dir):
+    """The n-gram folds are per-row (map-only); the only exchange the
+    operator may introduce is the ``spread`` input widener, which fires
+    exclusively when the scan is narrower than the session parallelism
+    (the local small-file case) and is a structural no-op at real scale.
+    Pin both halves of that contract."""
+    narrow = load_table(spark, sf_dir, "documents")
+    assert quality.num_shuffles(textops.repetition_metrics(narrow)) <= 1
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism)
+    base = quality.num_shuffles(wide)
+    # on an already-wide input, spread is a no-op: zero added exchanges
+    assert quality.num_shuffles(textops.repetition_metrics(wide)) == base
 
 
 # ---------------------------------------------------------------------------
