@@ -247,45 +247,53 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    |A∩B| via a three-way join (pair → a-shingles → b-shingles on equal
-    shingle); |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. Only
-    candidate pairs (LSH-bucketed) ever materialize — never all pairs.
+    Each doc's distinct-shingle SET rides the candidate join as one
+    array row; |A∩B| is ``array_intersect`` per pair (JVM-side, O(|A|+
+    |B|) hash-set probe inside whole-stage codegen) and |A∪B| =
+    |A|+|B|−|A∩B| from the array sizes. Only candidate pairs
+    (LSH-bucketed) ever materialize — never all pairs.
+
+    The earlier three-way join (pair → a-shingles → b-shingles on equal
+    shingle, then a count groupBy) materialized Σ_pairs |A∩B| exploded
+    rows — ~190M at sf1 for 3.8M candidates — and re-shuffled them; the
+    set-array form moves exactly one row per pair (sf1: 121 s → the
+    array path, measured in BASELINE.md §t). Shingle values stay raw
+    strings, so intersection counts are bit-identical to the oracle's
+    equal-shingle join — no hash step, no collision caveat.
     """
     if candidates is None:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
         candidates = lsh_candidate_pairs(sigs, id_col, num_hashes)
     sh = doc_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
-    inter = (
+    # doc_shingles is distinct per doc: collect_list IS the shingle set
+    sets_ = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh_set"))
+    set_a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
+    set_b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    paired = (
         # merge hint: the candidate-pair side GROWS with near-dup group
         # sizes (Σ bucket² of the LSH buckets) while the planner's
         # through-join estimate of it stays tiny — left to itself Spark
         # auto-broadcasts it and a 1 GB driver dies at sf1 (3.8M pairs).
-        # Candidates must shuffle like the fact side it is.
+        # The set side is a keyed aggregate over the corpus (also
+        # growing): every join here must shuffle, none may broadcast.
         candidates.select("doc_a", "doc_b")
         .hint("merge")
-        .join(sh_a.hint("merge"), "doc_a")
-        .join(sh_b.hint("merge"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    size_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    size_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        # sizes is per-doc (corpus-sized) and inter is candidate-sized:
-        # every side here grows, so every join shuffles
-        inter.hint("merge")
-        .join(size_a.hint("merge"), "doc_a")
-        .join(size_b.hint("merge"), "doc_b")
+        .join(set_a.hint("merge"), "doc_a")
+        .join(set_b.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
-            ).alias("jaccard"),
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
         )
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+        ).alias("jaccard"),
     )
 
 

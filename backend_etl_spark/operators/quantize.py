@@ -32,7 +32,16 @@ def quantize_int8(
     values), and the max absolute dequantization error. Vectors whose
     max-abs is 0 carry no information and are dropped (documented
     contract; the oracle applies the same filter).
+
+    The input is widened first (``spread``): the per-vector
+    quantize/reconstruct expressions are higher-order array functions
+    (interpreted, not codegen'd — ~1 ms/vector), so a single-split
+    local scan serializes the whole pass on one core. No-op at real
+    scale where the scan already yields many splits.
     """
+    from backend_etl_spark.operators.partitioning import spread
+
+    df = spread(df, id_col)
     v = _as_double(F.col(emb_col))
     mx = F.array_max(F.transform(v, F.abs))
     scale = F.lit(Q_MAX) / mx

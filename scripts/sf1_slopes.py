@@ -31,6 +31,22 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Entries whose OUTPUT cardinality itself grows super-linearly by
+#: query semantics, measured at both scales (the oracle's own result
+#: set, not an engine artifact): wall-clock slope > 1.0 is then
+#: intrinsic, and the right lens is wall growth vs OUTPUT growth. Each
+#: exemption records the measured output rows (sf0.1 -> sf1) so the
+#: claim is a fact, not prose. Both entries grow wall-clock far slower
+#: than output, i.e. per-output-row cost FALLS a decade up.
+OUTPUT_BOUND_EXEMPT = {
+    # candidate pairs = Σ bucket² of the LSH bands; the synthetic
+    # 31-word vocab makes band collisions ~quadratic in corpus size
+    "dedup_ngram_jaccard": {"out_sf0.1": 41_774, "out_sf1": 3_835_729},
+    # within-label all-pairs over a FIXED 10-label domain: bucket size
+    # grows linearly with the corpus, pairs quadratically
+    "dedup_embedding_cosine_pairs": {"out_sf0.1": 86, "out_sf1": 25_506},
+}
+
 
 def _times(path: str) -> dict[str, float]:
     with open(path) as fh:
@@ -69,8 +85,22 @@ def main() -> None:
             "slope": round(slope, 3),
             "sub_floor": sub_floor,
         }
+        if name in OUTPUT_BOUND_EXEMPT:
+            ex = OUTPUT_BOUND_EXEMPT[name]
+            out_growth = ex["out_sf1"] / ex["out_sf0.1"]
+            wall_growth = t / b
+            row["output_bound"] = {
+                **ex,
+                "output_growth": round(out_growth, 1),
+                "wall_growth": round(wall_growth, 1),
+                # per-output-row cost must not RISE a decade up, or the
+                # exemption is hiding a real engine regression
+                "per_row_ok": wall_growth <= out_growth,
+            }
         rows.append(row)
         if slope > max_slope and not sub_floor:
+            if row.get("output_bound", {}).get("per_row_ok"):
+                continue  # intrinsic output growth, measured above
             flagged.append(row)
 
     rows.sort(key=lambda r: r["slope"], reverse=True)
@@ -89,7 +119,13 @@ def main() -> None:
     print(f"{len(shared)} shared entries; bar slope<={max_slope} "
           f"(floor {floor}s at both scales)")
     for r in rows[:15]:
-        mark = " FLAG" if r in flagged else (" (sub-floor)" if r["sub_floor"] else "")
+        if r in flagged:
+            mark = " FLAG"
+        elif "output_bound" in r:
+            g = r["output_bound"]
+            mark = f" (output-bound: {g['output_growth']}x rows, {g['wall_growth']}x wall)"
+        else:
+            mark = " (sub-floor)" if r["sub_floor"] else ""
         print(f"  {r['name']:42s} {r['sf0.1']:8.2f} -> {r['sf1']:8.2f} "
               f"slope {r['slope']:+.2f}{mark}")
     if flagged:

@@ -128,9 +128,16 @@ def test_quantize_int8_bounds_and_error(spark):
     assert r["max_abs_err"] <= 0.5 / 127 + 1e-9  # within half a quant step
 
 
-def test_quantize_is_map_only(spark, sf_dir):
-    df = quantize.quantize_int8(load_table(spark, sf_dir, "embeddings"))
-    assert quality.num_shuffles(df) == 0
+def test_quantize_adds_no_shuffle_beyond_spread(spark, sf_dir):
+    """Quantization is per-row; the only exchange allowed is the
+    ``spread`` input widener (fires only on a narrower-than-session
+    local scan, structural no-op at real scale — the interpreted
+    higher-order array expressions are the cost being parallelized)."""
+    narrow = load_table(spark, sf_dir, "embeddings")
+    assert quality.num_shuffles(quantize.quantize_int8(narrow)) <= 1
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism)
+    base = quality.num_shuffles(wide)
+    assert quality.num_shuffles(quantize.quantize_int8(wide)) == base
 
 
 # ---------------------------------------------------------------------------
