@@ -84,8 +84,16 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     baselines: dict[str, dict[str, float]] = {}
     if not cold:
+        # non-default SFs adjudicate against their own previous record
+        # (bench_full_sf{sf}.json) — the r8 sf1 sweep showed in-run
+        # contention is WORSE at big SFs (one entry 2.9 s solo read
+        # 18.3 s in-run) and without a same-sf baseline no mover was
+        # ever solo-re-timed there
+        prev_name = (
+            "bench_full.json" if sf == "0.1" else f"bench_full_sf{sf}.json"
+        )
         for tag, fname in (
-            ("prev", "bench_full.json"),
+            ("prev", prev_name),
             ("round_start", "bench_round_start.json"),
         ):
             try:

@@ -48,14 +48,22 @@ OUTPUT_BOUND_EXEMPT = {
 }
 
 
-def _times(path: str) -> dict[str, float]:
+def _times(path: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(in-run times, solo times from the record's contended
+    annotations). Published numbers stay in-run — the solo map is
+    adjudication evidence for flags only."""
     with open(path) as fh:
         rec = json.load(fh)
     out = {}
     for name, t in rec.get("queries", {}).items():
         if isinstance(t, (int, float)):
             out[name] = float(t)
-    return out
+    solo = {
+        name: float(c["solo"])
+        for name, c in rec.get("contended", {}).items()
+        if isinstance(c, dict) and isinstance(c.get("solo"), (int, float))
+    }
+    return out, solo
 
 
 def main() -> None:
@@ -67,8 +75,8 @@ def main() -> None:
     if "--floor" in argv:
         floor = float(argv[argv.index("--floor") + 1])
 
-    base = _times(os.path.join(HERE, "bench_full.json"))
-    sf1 = _times(os.path.join(HERE, "bench_full_sf1.json"))
+    base, base_solo = _times(os.path.join(HERE, "bench_full.json"))
+    sf1, sf1_solo = _times(os.path.join(HERE, "bench_full_sf1.json"))
     shared = sorted(set(base) & set(sf1))
     missing = sorted(set(base) ^ set(sf1))
 
@@ -97,11 +105,61 @@ def main() -> None:
                 # exemption is hiding a real engine regression
                 "per_row_ok": wall_growth <= out_growth,
             }
+        # a flag must survive the solo evidence: if the record's own
+        # contention adjudication re-timed either end solo and the
+        # solo-based slope clears the bar, the flag is in-run noise
+        # (kept as an annotation, not a flag)
+        sb, st = base_solo.get(name, b), sf1_solo.get(name, t)
+        solo_slope = math.log10(st / sb) if sb > 0 else float("inf")
+        if (sb, st) != (b, t):
+            row["solo_slope"] = round(solo_slope, 3)
         rows.append(row)
         if slope > max_slope and not sub_floor:
             if row.get("output_bound", {}).get("per_row_ok"):
                 continue  # intrinsic output growth, measured above
+            if solo_slope <= max_slope and (sb, st) != (b, t):
+                continue  # contended in-run, solo evidence clears it
             flagged.append(row)
+
+    # Final adjudication: a flag only publishes if it survives a fresh
+    # SOLO best-of-2 at both scales (the r8 finding: after ~130 sf1
+    # entries the bench JVM accumulates enough heap/GC state that a
+    # 2.9 s-solo entry reads 18-24 s in-run, and when the PREVIOUS sf1
+    # record was equally inflated the >1.3x mover bar never trips).
+    # Skippable with --no-retime for a pure file-to-file comparison.
+    if flagged and "--no-retime" not in argv:
+        import time
+
+        sys.path.insert(0, HERE)
+        from backend_etl_spark.catalog import REGISTRY  # noqa: E402
+        from backend_etl_spark.session import get_spark  # noqa: E402
+
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+        spark = get_spark("sf1-slopes-retime")
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR",
+                                 "/root/repo/.localdata/sf1")
+
+        def solo(name: str, sf_dir: str) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        still = []
+        for row in flagged:
+            rb = solo(row["name"], "/root/testdata/sf0.1")
+            rt = solo(row["name"], sf1_dir)
+            row["retimed"] = {
+                "sf0.1": rb,
+                "sf1": rt,
+                "slope": round(math.log10(rt / rb), 3),
+            }
+            if row["retimed"]["slope"] > max_slope:
+                still.append(row)
+        flagged = still
 
     rows.sort(key=lambda r: r["slope"], reverse=True)
     out = {
