@@ -1865,6 +1865,13 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     # projection forces a fresh multi-second janino compile unique to
     # this entry, while the join form reuses the exact generated code
     # the standalone quality entries already compiled.
+    from pyspark.sql import Observation
+
+    # n_after_quality rides q's own checkpoint materialization as an
+    # Observation (same discipline as nd's below): the count job over
+    # the checkpoint is gone. Collected exactly once — downstream
+    # consumers read the checkpoint, never the observed plan.
+    q_obs = Observation()
     q = (
         base.join(ent, "doc_id")
         .join(rep, "doc_id")
@@ -1875,6 +1882,7 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
             & F.coalesce(F.col("avg_log2p") >= -4.95, F.lit(False))
         )
         .select("doc_id", "text", "ck", "ntok")
+        .observe(q_obs, F.count(F.lit(1)).cast("bigint").alias("n_after_quality"))
         .localCheckpoint(eager=True)  # later stages re-read survivors, not the LM chain
     )
     w = Window.partitionBy("ck").orderBy("doc_id")
@@ -1911,8 +1919,6 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     # — the r7 postmortem's remaining funnel lever). CollectMetrics is
     # a pushdown barrier, so fin's filter/anti-join cannot slide below
     # the observe and shrink the observed count.
-    from pyspark.sql import Observation
-
     nd_obs = Observation()
     nd = ex.join(drop, "doc_id", "anti").observe(
         nd_obs,
@@ -1927,7 +1933,7 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=True)
     )
     spl = curation.leakage_safe_split(fin, "doc_id", dedup.content_key(F.col("text")))
-    return docs, q, ex, nd, nd_obs, fin, spl
+    return docs, q, q_obs, ex, nd, nd_obs, fin, spl
 
 
 def corpus_funnel_observed(
@@ -1948,7 +1954,7 @@ def corpus_funnel_observed(
     from backend_etl_spark import sink
 
     tune(spark)
-    docs, q, ex, nd, _nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
+    docs, q, _q_obs, ex, nd, _nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
     out: dict[str, int] = {}
     out["n_raw"] = docs.count()
     out["n_after_quality"] = sink.write_idempotent(
@@ -2013,7 +2019,7 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists each stage's survivor set and the counts ride those writes
     as Observations (sink.write_idempotent discipline)."""
     tune(spark)
-    docs, q, ex, nd, nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
+    docs, q, q_obs, ex, nd, nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
 
     def one(df, name):
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
@@ -2021,13 +2027,25 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused 1-row aggregates: the decontam count and token budget ride
     # ONE pass over fin, and all three split counts ride ONE pass over
     # spl (three filtered counts = three jobs over the same checkpoint).
-    # n_after_near_dedup was collected by nd's Observation during fin's
-    # eager checkpoint (the engine counted it; Observation.get already
-    # returned) — re-counting nd here would re-run the whole band join.
+    # n_after_quality / n_after_near_dedup were collected by their
+    # Observations during the two eager checkpoints (the engine counted
+    # them; Observation.get already returned) — re-counting q would
+    # re-scan its checkpoint, re-counting nd would re-run the whole
+    # band join. n_after_exact_dedup = |distinct ck in q| (ex keeps the
+    # first row per ck), so it rides one partial-agg job over the q
+    # checkpoint instead of re-running the row_number window.
     counts = [
         one(docs, "n_raw"),
-        one(q, "n_after_quality"),
-        one(ex, "n_after_exact_dedup"),
+        spark.range(1).select(
+            F.lit(int(q_obs.get["n_after_quality"]))
+            .cast("bigint")
+            .alias("n_after_quality")
+        ),
+        q.agg(
+            F.count_distinct(F.col("ck"))
+            .cast("bigint")
+            .alias("n_after_exact_dedup")
+        ),
         spark.range(1).select(
             F.lit(int(nd_obs.get["n_after_near_dedup"]))
             .cast("bigint")
