@@ -118,14 +118,21 @@ def agg_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same linear
-    interpolation between order statistics)."""
+    interpolation between order statistics). Both percentages ride ONE
+    percentile(col, array(...)) aggregate — exact percentile buffers
+    the group's values, and separate calls buffer (and sort) the same
+    6M values once per percentage."""
     tune(spark)
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("median_price"),
+            F.round(F.col("_p")[1], 4).alias("p90_price"),
         )
     )
 
@@ -153,20 +160,19 @@ def agg_approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-                "exact_median"
-            ),
+            # one exact buffer for all three order statistics (separate
+            # percentile calls each buffer+sort the group again)
+            F.expr(
+                "percentile(l_extendedprice, array(0.49, 0.5, 0.51))"
+            ).alias("_p"),
             F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("approx"),
-            F.expr("percentile(l_extendedprice, 0.49)").alias("lo"),
-            F.expr("percentile(l_extendedprice, 0.51)").alias("hi"),
         )
     )
     return g.select(
         "l_returnflag",
-        "exact_median",
-        ((F.col("approx") >= F.col("lo")) & (F.col("approx") <= F.col("hi"))).alias(
-            "within_rank_bound"
-        ),
+        F.round(F.col("_p")[1], 4).alias("exact_median"),
+        ((F.col("approx") >= F.col("_p")[0]) & (F.col("approx") <= F.col("_p")[2]))
+        .alias("within_rank_bound"),
     )
 
 
@@ -846,11 +852,22 @@ def agg_quantile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented error bound (see agg_approx_count_distinct)."""
     tune(spark)
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        *[
-            F.round(F.percentile("o_totalprice", F.lit(q)), 2).alias(f"p{int(q*100)}")
-            for q in (0.25, 0.50, 0.90, 0.99)
-        ]
+    qs = (0.25, 0.50, 0.90, 0.99)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            # all four percentages share one buffered-values aggregate
+            F.expr(
+                f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
+            ).alias("_p")
+        )
+        .select(
+            "o_orderstatus",
+            *[
+                F.round(F.col("_p")[i], 2).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(qs)
+            ],
+        )
     )
 
 
