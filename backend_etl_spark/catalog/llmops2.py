@@ -221,7 +221,13 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-ish join + one per-doc rollup, never corpus×corpus.
     """
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    from backend_etl_spark.operators.partitioning import spread
+
+    # widen the narrow local scan before the gram explode (both the
+    # eval and training branches read g) — no-op at real scale
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.transform(textops.word_ngrams(F.filter(toks, lambda t: t != ""), 4), F.md5)
     g = docs.select("doc_id", F.explode(grams).alias("gh"))
@@ -2576,9 +2582,15 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the per-crawl tokenize-and-count pass; its cost IS the scan."""
     tune(spark)
     from backend_etl_spark.functions.scalars import tokens
+    from backend_etl_spark.operators.partitioning import spread
     from backend_etl_spark.operators.textops import BPE_PSEP, BPE_SEP
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widen the narrow local scan: the per-word encode chain is heavy
+    # per row and would otherwise run single-core (no-op at real scale;
+    # the train side widens its own corpus aggregate internally)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     # min_pair_count=1: the oracle unrolls ALL _BPE_MERGES iterations
     # unconditionally, so the catalog entry must not stop early; the
     # default-2 convergence guard is a production knob covered by the

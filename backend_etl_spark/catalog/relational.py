@@ -764,7 +764,14 @@ def ts_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's scalar layer. Each engine formats AND parses with its
     own functions — matching outputs prove parser parity."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
+    from backend_etl_spark.operators.partitioning import spread
+
+    # widen the narrow local scan: five format/parse round-trips per
+    # row are pure compute and would otherwise run single-core on a
+    # one-split file (no-op at real scale)
+    ev = spread(
+        load_table(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
     ts2 = F.date_trunc("second", F.col("ts"))
     ctime_str = F.date_format(ts2, "EEE MMM dd HH:mm:ss yyyy")
     purchase_str = F.concat(F.lit("Date of purchase: "), F.date_format("ts", "dd/MM/yyyy"))

@@ -272,7 +272,15 @@ def passage_hashes(
     """Non-overlapping ``size``-token passages, md5-hashed — the unit for
     sub-document (paragraph-level) dedup on corpora whose documents have
     no layout structure. One output row per (doc, passage_idx); docs
-    shorter than ``size`` tokens produce none."""
+    shorter than ``size`` tokens produce none.
+
+    The input is widened first (``spread`` — see repetition_metrics):
+    the strided slice/zip_with chain is compute-heavy per row, and a
+    single-split local scan would run it on one core. No-op at real
+    scale."""
+    from backend_etl_spark.operators.partitioning import spread
+
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = tokens(F.col(text_col))
     # stride-filter BEFORE concatenation: each shifted slice is cut down
     # to every size-th position first, so the zip_with concat chain only
@@ -449,8 +457,14 @@ def bpe_train_merges(
     """
     spark = df.sparkSession
     sep2 = BPE_SEP + BPE_SEP
+    from backend_etl_spark.operators.partitioning import spread
+
     words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        # widen the corpus scan feeding the one corpus-sized aggregate
+        # (every later iteration runs on the Zipf word table) — no-op
+        # at real scale
+        spread(df.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
         .where(~F.contains(F.col("word"), F.lit(BPE_SEP)))
         .where(~F.contains(F.col("word"), F.lit(BPE_PSEP)))
         .groupBy("word")
