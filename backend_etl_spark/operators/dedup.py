@@ -260,6 +260,23 @@ def jaccard_pairs(
     array path, measured in BASELINE.md §t). Shingle values stay raw
     strings, so intersection counts are bit-identical to the oracle's
     equal-shingle join — no hash step, no collision caveat.
+
+    Output contract: only pairs with ``n_common >= 1`` are emitted —
+    the same rows an equal-shingle join produces. LSH candidates share
+    the argmin shingle w.h.p., but a minhash collision or an externally
+    supplied ``candidates`` frame can contain zero-overlap pairs; those
+    are filtered (one codegen'd predicate) rather than emitted as
+    jaccard=0.0 rows the oracle would never produce.
+
+    Memory shape: each doc's distinct-shingle array is replicated once
+    per candidate pair, so peak per-row bytes ≈ max doc shingle count ×
+    shingle width, and a single row appears at most (max LSH bucket
+    size − 1) times per band. With the default 9-char shingles and
+    crawl-scale docs capped upstream (documents.parquet bodies are
+    bounded), a 1e5-shingle doc in a 1e3-doc bucket is ~1e8 array
+    elements spread across that bucket's pair partitions — spill-safe
+    under sort-merge join; unbounded doc bodies should be truncated or
+    length-capped before this operator.
     """
     if candidates is None:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -288,7 +305,7 @@ def jaccard_pairs(
             F.size("set_b").alias("n_b"),
         )
     )
-    return paired.select(
+    return paired.filter(F.col("n_common") >= 1).select(
         "doc_a",
         "doc_b",
         F.round(

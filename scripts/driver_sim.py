@@ -69,20 +69,49 @@ if _only:
 # ledger active, a per-entry crash is recorded and the sweep continues
 # (the driver itself has no ledger and keeps its fail-fast semantics).
 _ledger = os.environ.get("DRIVER_SIM_LEDGER")
+# Each ledger row records the HEAD commit it was measured at, so resume
+# can tell a green row on THIS code from a stale green written before an
+# engine change (r8 advice: a stale green could mask a mid-round
+# regression).
+def _head_commit() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 - ledger provenance is best-effort
+        return "unknown"
+
+
+_COMMIT = _head_commit()
+
 # DRIVER_SIM_RESUME=1 (requires a ledger): skip entries whose LATEST
 # ledger row for this sf_dir is already a match — long sf1 sweeps
 # interrupted mid-run continue where they left off instead of paying
-# the finished entries again. Non-match rows (mismatch/error) re-run.
+# the finished entries again. Non-match rows (mismatch/error) re-run,
+# and so does any green row written at a DIFFERENT commit (or with no
+# commit recorded): resume is only valid within one unmodified sweep.
 if _ledger and os.environ.get("DRIVER_SIM_RESUME") and os.path.exists(_ledger):
-    _done_latest: dict[str, str] = {}
+    _done_latest: dict[str, dict] = {}
     with open(_ledger) as _fh:
         for _line in _fh:
             _rec = json.loads(_line)
             if _rec.get("sf_dir") == SF_DIR:
-                _done_latest[_rec["name"]] = _rec["status"]
-    _skip = {n for n, s in _done_latest.items() if s in ("match", "rows_only")}
-    if _skip:
-        print(f"(resume: skipping {len(_skip)} ledger-green entries)")
+                _done_latest[_rec["name"]] = _rec
+    _skip = {
+        n for n, r in _done_latest.items()
+        if r["status"] in ("match", "rows_only")
+        and r.get("commit") == _COMMIT
+    }
+    _stale = sum(
+        1 for n, r in _done_latest.items()
+        if r["status"] in ("match", "rows_only") and n not in _skip
+    )
+    if _skip or _stale:
+        print(f"(resume: skipping {len(_skip)} ledger-green entries at "
+              f"commit {_COMMIT}; re-running {_stale} stale-commit greens)")
         qs = {n: fn for n, fn in qs.items() if n not in _skip}
 # DRIVER_SIM_ALT_ORACLES=1: for the two entries whose SQL oracle is a
 # recursive CTE (the one DuckDB operator that cannot spill — OOMs at
@@ -98,6 +127,7 @@ if os.environ.get("DRIVER_SIM_ALT_ORACLES"):
 
 def _record(rec: dict) -> None:
     if _ledger:
+        rec = {**rec, "commit": _COMMIT}
         with open(_ledger, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
 
