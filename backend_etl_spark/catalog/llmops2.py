@@ -1873,13 +1873,20 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     # the standalone quality entries already compiled.
     from pyspark.sql import Observation
 
+    # n_raw rides the q checkpoint too (r9): base is scanned exactly
+    # once inside q's plan, and counting it there removes the separate
+    # documents-scan job corpus_pipeline_funnel paid. CollectMetrics on
+    # base blocks no pushdown that mattered: the quality predicates
+    # reference joined metric columns and never reached the scan.
+    raw_obs = Observation()
     # n_after_quality rides q's own checkpoint materialization as an
     # Observation (same discipline as nd's below): the count job over
     # the checkpoint is gone. Collected exactly once — downstream
     # consumers read the checkpoint, never the observed plan.
     q_obs = Observation()
     q = (
-        base.join(ent, "doc_id")
+        base.observe(raw_obs, F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+        .join(ent, "doc_id")
         .join(rep, "doc_id")
         .join(lm, "doc_id", "left")
         .where(
@@ -1932,14 +1939,24 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     )
     cont = decontam_ngram_overlap(spark, sf_dir).select("doc_id")
     # fin feeds five downstream aggregates (count, 3 split counts, token
-    # sum) — checkpoint so the dedup/decontam chain computes once
+    # sum) — checkpoint so the dedup/decontam chain computes once. Its
+    # own count + token budget ride the checkpoint materialization as
+    # an Observation (r9): the post-checkpoint fin.agg job is gone.
+    fin_obs = Observation()
     fin = (
         nd.where(F.col("doc_id") >= 10)
         .join(cont, "doc_id", "anti")
+        .observe(
+            fin_obs,
+            F.count(F.lit(1)).cast("bigint").alias("n_after_decontam"),
+            F.coalesce(F.sum("ntok"), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
         .localCheckpoint(eager=True)
     )
     spl = curation.leakage_safe_split(fin, "doc_id", dedup.content_key(F.col("text")))
-    return docs, q, q_obs, ex, nd, nd_obs, fin, spl
+    return docs, raw_obs, q, q_obs, ex, nd, nd_obs, fin, fin_obs, spl
 
 
 def corpus_funnel_observed(
@@ -1960,7 +1977,9 @@ def corpus_funnel_observed(
     from backend_etl_spark import sink
 
     tune(spark)
-    docs, q, _q_obs, ex, nd, _nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
+    docs, _raw_obs, q, _q_obs, ex, nd, _nd_obs, fin, _fin_obs, spl = _funnel_stages(
+        spark, sf_dir
+    )
     out: dict[str, int] = {}
     out["n_raw"] = docs.count()
     out["n_after_quality"] = sink.write_idempotent(
@@ -2025,41 +2044,40 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists each stage's survivor set and the counts ride those writes
     as Observations (sink.write_idempotent discipline)."""
     tune(spark)
-    docs, q, q_obs, ex, nd, nd_obs, fin, spl = _funnel_stages(spark, sf_dir)
+    docs, raw_obs, q, q_obs, ex, nd, nd_obs, fin, fin_obs, spl = _funnel_stages(
+        spark, sf_dir
+    )
 
-    def one(df, name):
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
-
-    # fused 1-row aggregates: the decontam count and token budget ride
-    # ONE pass over fin, and all three split counts ride ONE pass over
+    # fused 1-row aggregates: all three split counts ride ONE pass over
     # spl (three filtered counts = three jobs over the same checkpoint).
-    # n_after_quality / n_after_near_dedup were collected by their
-    # Observations during the two eager checkpoints (the engine counted
-    # them; Observation.get already returned) — re-counting q would
-    # re-scan its checkpoint, re-counting nd would re-run the whole
-    # band join. n_after_exact_dedup = |distinct ck in q| (ex keeps the
-    # first row per ck), so it rides one partial-agg job over the q
-    # checkpoint instead of re-running the row_number window.
+    # n_raw / n_after_quality / n_after_near_dedup / n_after_decontam /
+    # total_tokens were collected by their Observations during the two
+    # eager checkpoints (the engine counted them; Observation.get
+    # already returned) — re-counting docs would re-scan the parquet,
+    # re-counting q would re-scan its checkpoint, re-counting nd would
+    # re-run the whole band join. n_after_exact_dedup = |distinct ck in
+    # q| (ex keeps the first row per ck), so it rides one partial-agg
+    # job over the q checkpoint instead of re-running the row_number
+    # window.
+    def lit1(obs, name):
+        return spark.range(1).select(
+            F.lit(int(obs.get[name])).cast("bigint").alias(name)
+        )
+
     counts = [
-        one(docs, "n_raw"),
-        spark.range(1).select(
-            F.lit(int(q_obs.get["n_after_quality"]))
-            .cast("bigint")
-            .alias("n_after_quality")
-        ),
+        lit1(raw_obs, "n_raw"),
+        lit1(q_obs, "n_after_quality"),
         q.agg(
             F.count_distinct(F.col("ck"))
             .cast("bigint")
             .alias("n_after_exact_dedup")
         ),
+        lit1(nd_obs, "n_after_near_dedup"),
         spark.range(1).select(
-            F.lit(int(nd_obs.get["n_after_near_dedup"]))
+            F.lit(int(fin_obs.get["n_after_decontam"]))
             .cast("bigint")
-            .alias("n_after_near_dedup")
-        ),
-        fin.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_after_decontam"),
-            F.coalesce(F.sum("ntok"), F.lit(0))
+            .alias("n_after_decontam"),
+            F.lit(int(fin_obs.get["total_tokens"]))
             .cast("bigint")
             .alias("total_tokens"),
         ),

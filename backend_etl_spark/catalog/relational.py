@@ -1145,19 +1145,25 @@ def range_join_binned_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     each purchase): time-bin bucketing replicates each click into 2
     buckets and turns the pure inequality join into a hash equi-join +
     band filter — bounded 2x fan-out instead of the cartesian fallback.
-    The oracle is the naive inequality form (DuckDB IEJoin handles it)."""
+    The count collapses map-side via binned_interval_count (r9): pairs
+    grow ~100× per decade with event density, so they never reach a
+    shuffle — the generic left-join + re-aggregate path shuffled the
+    pair stream three times and was the catalog's last super-linear
+    solo slope (1.078 at r8). The oracle is the naive inequality form
+    (DuckDB IEJoin handles it)."""
     tune(spark)
-    from backend_etl_spark.operators.interval import binned_interval_join
+    from backend_etl_spark.operators.interval import binned_interval_count
 
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         "event_id", F.col("ts").alias("p_ts")
     )
     c = ev.where(F.col("event_type") == "click").select(F.col("ts").alias("c_ts"))
-    joined = binned_interval_join(p, c, "p_ts", "c_ts", band_s=300, how="left")
-    return joined.groupBy("event_id").agg(
-        F.count("c_ts").cast("bigint").alias("n_any_clicks_5m")
+    counted = binned_interval_count(
+        p, c, "p_ts", "c_ts", band_s=300,
+        key_cols=["event_id"], out_col="n_any_clicks_5m",
     )
+    return counted.select("event_id", "n_any_clicks_5m")
 
 
 @register(

@@ -64,3 +64,43 @@ def binned_interval_join(
         ],
     )
     return inner.unionByName(nulled)
+
+
+def binned_interval_count(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    band_s: int,
+    key_cols: list[str],
+    out_col: str = "n_in_band",
+) -> DataFrame:
+    """Per-left-row COUNT of right rows in ``(left_ts − band_s, left_ts]``
+    — the aggregate-pushdown form of ``binned_interval_join(how='left')``
+    + ``groupBy().count()``.
+
+    In-band pairs grow quadratically with event density (both sides 10×
+    denser → ~100× pairs per decade), so the pair stream must collapse
+    as early as possible. Here the inner bucket join's pairs are
+    aggregated per left key immediately — the map-side partial agg
+    (combiner) collapses them before any shuffle, so only |left| rows
+    move — and the zero-count left rows come back via ONE equi-join on
+    the key instead of the generic path's distinct → anti-join → union
+    → re-aggregate, which shuffled the full super-linear pair stream
+    three times. ``key_cols`` must uniquely identify left rows (the
+    count is per left ROW).
+    """
+    inner = binned_interval_join(
+        left, right, left_ts, right_ts, band_s, how="inner"
+    )
+    counts = inner.groupBy(*key_cols).agg(
+        F.count(F.col(right_ts)).cast("bigint").alias(out_col)
+    )
+    # counts is a keyed aggregate over a growing input (the r6
+    # derived-side class): its through-agg size estimate stays tiny, so
+    # unhinted the static planner would broadcast it — merge-hint both
+    # sides; the join key partitioning is reused from the aggregation.
+    return left.join(counts.hint("merge"), key_cols, "left").select(
+        *left.columns,
+        F.coalesce(F.col(out_col), F.lit(0)).cast("bigint").alias(out_col),
+    )
