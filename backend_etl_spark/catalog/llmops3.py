@@ -340,12 +340,24 @@ def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_dir = scratch_dir("ivfpq-append")
     src, lists, ckpt = f"{base_dir}/src", f"{base_dir}/lists", f"{base_dir}/ckpt"
-    # the initial build: base corpus encoded and persisted once
-    sink.write_idempotent(encode(base), lists, ["vec_id"], partition_cols=["cluster"])
+    # the initial build: base corpus encoded and persisted once —
+    # assume_unique (vec_id is the source table's key, so the bulk load
+    # needs no intra-batch dedup shuffle), and one writer per cluster so
+    # the layout starts at one file per list (every later batch's
+    # anti-join scans the lists table; small files are pure tax)
+    sink.write_idempotent(
+        encode(base).repartition("cluster"),
+        lists,
+        ["vec_id"],
+        partition_cols=["cluster"],
+        assume_unique=True,
+    )
     # incoming vectors as a multi-file stream with the first 40 redelivered;
     # 2 files + the redelivery file at 2 files/trigger = 2 real micro-batches
     # (multi-batch + at-least-once properties intact at half the per-batch
-    # fixed cost — each batch pays an anti-join probe of the lists table)
+    # fixed cost — each batch pays an anti-join probe of the lists table).
+    # repartition (not coalesce): exactly 2 files regardless of the
+    # scan's split count, so the 2-real-micro-batch shape is guaranteed
     inc.repartition(2).write.mode("overwrite").parquet(src)
     inc.orderBy("vec_id").limit(40).write.mode("append").parquet(src)
 

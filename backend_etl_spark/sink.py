@@ -52,6 +52,7 @@ def write_idempotent(
     key_cols: list[str],
     partition_cols: list[str] | None = None,
     prune=None,
+    assume_unique: bool = False,
 ) -> int:
     """Append `df` to parquet at `path`, skipping rows whose natural key
     already exists (effectively-once under at-least-once redelivery).
@@ -68,9 +69,15 @@ def write_idempotent(
       correct as long as redelivery never arrives later than H (the
       reference's overlap windows guarantee exactly that, SURVEY §2.10
       W7).
+    - ``assume_unique``: the CALLER asserts this batch is already
+      key-unique (e.g. a bulk initial load keyed on a source table's
+      primary key) — skips the intra-batch dropDuplicates shuffle. The
+      cross-batch anti-join still runs, so redelivery safety is
+      unchanged; only duplicate keys WITHIN one asserted batch would
+      slip through.
     """
     spark = df.sparkSession
-    batch = df.dropDuplicates(key_cols)
+    batch = df if assume_unique else df.dropDuplicates(key_cols)
     if _sink_exists(path):
         existing = spark.read.parquet(path)
         if prune is not None:

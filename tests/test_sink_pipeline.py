@@ -37,6 +37,19 @@ def test_write_idempotent_dedups_within_batch(spark, tmp_path):
     assert spark.read.parquet(path).select("k").distinct().count() == 2
 
 
+def test_write_idempotent_assume_unique_keeps_redelivery_safety(
+    spark, events, tmp_path
+):
+    """assume_unique skips only the intra-batch dedup shuffle; the
+    cross-batch anti-join is untouched, so a redelivered asserted-unique
+    batch still lands zero rows (the ivfpq initial-build fast path)."""
+    path = str(tmp_path / "sink")
+    batch = events.limit(100)
+    assert write_idempotent(batch, path, ["event_id"], assume_unique=True) == 100
+    assert write_idempotent(batch, path, ["event_id"], assume_unique=True) == 0
+    assert spark.read.parquet(path).count() == 100
+
+
 def test_write_idempotent_partial_overlap(spark, events, tmp_path):
     path = str(tmp_path / "sink")
     write_idempotent(events.where(F.col("event_id") < 50), path, ["event_id"])
