@@ -121,7 +121,14 @@ def agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation between order statistics). Both percentages ride ONE
     percentile(col, array(...)) aggregate — exact percentile buffers
     the group's values, and separate calls buffer (and sort) the same
-    6M values once per percentage."""
+    6M values once per percentage.
+
+    Exactness contract / ceiling: the buffer is max-group-cardinality ×
+    8 B in ONE task (order statistics don't partial-aggregate) — fine
+    through sf1 (~48 MB), fatal at 100 TB (~800 GB/group). The
+    production swap is operators/quantiles.group_quantiles_production
+    (mergeable GK sketch, rank error ≤ n/accuracy, rank-bound
+    test-pinned at sf0.1 in tests/test_quantiles_production.py)."""
     tune(spark)
     return (
         load_table(spark, sf_dir, "lineitem")
@@ -848,8 +855,11 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_quantile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (p25/p50/p90/p99) per group — the
     latency-percentile aggregation shape. Exact percentile is a full
-    sort-based agg; at scale swap in approx_percentile and accept the
-    documented error bound (see agg_approx_count_distinct)."""
+    sort-based agg with a one-task group buffer (see agg_median_price's
+    ceiling note); the drop-in 100 TB swap is
+    operators/quantiles.group_quantiles_production (same p25/p50/p90/
+    p99 output shape, mergeable sketch state, rank-bound test-pinned at
+    sf0.1)."""
     tune(spark)
     o = load_table(spark, sf_dir, "orders")
     qs = (0.25, 0.50, 0.90, 0.99)

@@ -1,0 +1,72 @@
+"""Grouped quantiles: the exactness/scale trade, made explicit.
+
+The catalog's exact entries (``agg_median_price``, ``agg_quantile_family``,
+``agg_approx_quantile_bounded``'s exact column) use Spark's ``percentile``
+— an ObjectHashAggregate whose per-group state BUFFERS (and finally
+sorts) every value in the group. That is the right tool while
+``max group cardinality × 8 B`` fits one executor's aggregation memory:
+at sf1 the largest group here is ~6M doubles ≈ 48 MB — fine. It is the
+wrong tool at 100 TB, where a single l_returnflag group holds ~1e11
+values (~800 GB of buffer): the group cannot be partial-aggregated
+(order statistics don't decompose), so one task must materialize it and
+dies. The production path at that scale is the Greenwald–Khanna sketch
+(``percentile_approx``): O(accuracy · log n) state, mergeable across
+partitions (map-side partial agg works), with the published guarantee
+that the returned value's RANK is within ``n / accuracy`` of the target
+rank — i.e. the result lies between the exact (q − 1/accuracy) and
+(q + 1/accuracy) quantiles.
+
+``group_quantiles_production`` is that path, one sketch per group for
+ALL requested percentages (the same buffer-once discipline BASELINE §t
+measured for the exact family). tests/test_quantiles_production.py pins
+the rank bound against the exact aggregate at sf0.1 — the same
+attestation pattern as ``agg_approx_quantile_bounded``, extended to the
+whole quantile family. Reference parity: the reference engine computes
+these percentiles exactly at its (single-node) scale
+(analytics/metrics.sql-style rollups); this module is the documented
+swap a 1000-executor deployment makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank-error knob: guarantee |rank(returned) − q·n| ≤ n / ACCURACY.
+#: 10⁴ matches agg_approx_quantile_bounded's attested setting; sketch
+#: state is O(ACCURACY · log n) per group — KBs, not the group itself.
+DEFAULT_ACCURACY = 10_000
+
+
+def group_quantiles_production(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    accuracy: int = DEFAULT_ACCURACY,
+    round_dp: int = 2,
+) -> DataFrame:
+    """Per-group quantiles via ONE Greenwald–Khanna sketch per group —
+    the 100 TB form of the exact ``percentile(col, array(...))``
+    entries. Output columns are ``p<q*100>`` (e.g. p50), matching
+    ``agg_quantile_family``'s shape so the two are drop-in swaps.
+
+    Mergeable sketch state ⇒ map-side partial aggregation works and the
+    shuffle moves one sketch per (partition, group), never the values;
+    no group ever materializes. Error contract: each returned value
+    lies between the exact (q − 1/accuracy) and (q + 1/accuracy)
+    group quantiles (test-pinned at sf0.1).
+    """
+    pcts = ", ".join(str(float(q)) for q in qs)
+    agg = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"percentile_approx({value_col}, array({pcts}), {int(accuracy)})"
+        ).alias("_q")
+    )
+    return agg.select(
+        *group_cols,
+        *[
+            F.round(F.col("_q")[i], round_dp).alias(f"p{round(q * 100):d}")
+            for i, q in enumerate(qs)
+        ],
+    )
