@@ -344,6 +344,13 @@ def kmeans_fit_multi(
 
     Results are memoized under each relation's INDIVIDUAL kmeans_fit
     cache key, so a later plain kmeans_fit over any of the slices hits.
+
+    The tagged union is deliberately NOT persisted across the phases
+    (the MLlib-style cache discipline was measured r9: cache build cost
+    exceeds the re-scan savings at fixture scale, +0.5-1.5 s per cold
+    fit). At production scale the training input is a sample by
+    construction; a caller that samples expensively should persist the
+    sample itself before fitting.
     """
     from pyspark.sql.window import Window
 

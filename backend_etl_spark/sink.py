@@ -86,7 +86,13 @@ def write_idempotent(
         # semantics: a row with a NULL key column is appended once, not
         # re-appended on every redelivery (null-unsafe equality would
         # never match it against the sink's copy).
-        ex = existing.select(*key_cols).distinct().alias("__sink_ex")
+        # No distinct on the existing keys: the sink is key-unique BY
+        # THIS FUNCTION'S OWN INVARIANT (every append is intra-batch
+        # deduped and anti-joined against history), and a left-anti
+        # probe is correct against duplicates anyway — the distinct was
+        # one extra shuffle+aggregate on EVERY micro-batch (r9; at
+        # 100 TB it re-aggregated the whole key history per batch).
+        ex = existing.select(*key_cols).alias("__sink_ex")
         b = batch.alias("__sink_in")
         cond = None
         for k in key_cols:
