@@ -31,6 +31,25 @@ from backend_etl_spark.catalog import REGISTRY  # noqa: E402
 from backend_etl_spark.session import get_spark  # noqa: E402
 
 
+#: the driver's stdout-tail capture window is ~2000 chars; the final
+#: summary line must always fit (BENCH_r08 postmortem: an uncapped
+#: contended map pushed the line past it and the round's official
+#: record became ``parsed: null``)
+MAX_SUMMARY_CHARS = 1800
+
+
+def build_summary_line(out: dict) -> str:
+    """Serialize the final summary record, shedding detail fields (all
+    duplicated in bench_full.json) until it fits the tail window."""
+    line = json.dumps(out)
+    for shed in ("contended", "queries", "errors"):
+        if len(line) <= MAX_SUMMARY_CHARS:
+            break
+        out.pop(shed, None)
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # --cold / SPARK_GRAFT_BENCH_COLD=1: worst-case variant — single
@@ -199,15 +218,7 @@ def main() -> None:
         out["partial"] = True
         out["value_partial_sum"] = round(sum(times.values()), 3)
         out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
-    # hard backstop on the 2000-char tail window: shed detail fields (the
-    # full data is already in bench_full.json) until the line fits
-    line = json.dumps(out)
-    for shed in ("contended", "queries", "errors"):
-        if len(line) <= 1800:
-            break
-        out.pop(shed, None)
-        line = json.dumps(out)
-    print(line)
+    print(build_summary_line(out))
 
 
 if __name__ == "__main__":
