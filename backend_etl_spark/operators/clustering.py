@@ -472,6 +472,50 @@ def kmeans_fit_multi(
     return {t: {cid: list(v) for cid, v in cents[t].items()} for t in tags}
 
 
+def multi_encode_np(
+    quantizers: dict[str, tuple[dict[int, list[float]], tuple[int, int] | None]],
+):
+    """ONE Arrow-batched kernel computing every quantizer's
+    nearest-centroid id for a row in a single pass — the IVF-PQ encode
+    (coarse + N subspace codebooks) without N separate argmin
+    expressions. ``quantizers`` maps output field name → (centroids,
+    optional [lo, hi) dim slice of the embedding; None = full vector).
+
+    Per quantizer the numerics are EXACTLY _assign_np_udf's (sequential
+    dim fold — vectorized across the batch, looped over dims — then
+    floor(d·1e6 + 0.5)/1e6 rounding and first-minimum tie-break), i.e.
+    the same attested kernel assign_clusters uses for k ≥
+    NP_ASSIGN_MIN_K, applied per subspace. Slicing commutes with the
+    float32→double upcast (both exact), so a subspace fold sees the
+    identical IEEE op sequence the F.slice + literal-argmin form
+    produced. Returns a pandas_udf yielding
+    ``struct<name:int, ...>`` in ``quantizers`` key order.
+    """
+    names = list(quantizers)
+    mats = {}
+    for name, (cents, span) in quantizers.items():
+        cids = np.array(sorted(cents), dtype=np.int64)
+        C = np.array([cents[c] for c in sorted(cents)], dtype=np.float64)
+        mats[name] = (cids, C, span)
+    out_type = "struct<" + ", ".join(f"{n}:int" for n in names) + ">"
+
+    @F.pandas_udf(out_type)
+    def _encode(s: pd.Series) -> pd.DataFrame:
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        cols = {}
+        for name, (cids, C, span) in mats.items():
+            Xs = X if span is None else X[:, span[0]: span[1]]
+            D = np.zeros((Xs.shape[0], C.shape[0]))
+            for j in range(Xs.shape[1]):
+                diff = Xs[:, j, None] - C[None, :, j]
+                D += diff * diff
+            D = np.floor(D * 1e6 + 0.5) / 1e6
+            cols[name] = cids[D.argmin(axis=1)].astype("int32")
+        return pd.DataFrame(cols)
+
+    return _encode
+
+
 def probe_clusters(
     df: DataFrame,
     centroids: dict[int, list[float]],
