@@ -940,19 +940,23 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert len(next(iter(cents[s].values()))) == _PQ_HALF, (
             "fixture embedding dim changed; update _PQ_DIM and the oracle"
         )
-    # single-pass encode: both subspace argmins (code + err2) in one
-    # map-only select — no corpus-wide vec_id join between subspaces
-    nc = {
-        0: clustering.nearest_centroid(F.slice("embedding", 1, _PQ_HALF), cents[0]),
-        1: clustering.nearest_centroid(
-            F.slice("embedding", _PQ_HALF + 1, _PQ_DIM - _PQ_HALF), cents[1]
-        ),
-    }
+    # single-pass encode: both subspace argmins (code + err2) in ONE
+    # Arrow-batched kernel (r9: replaces two literal-argmin expressions
+    # — same attested numerics, no per-entry expression compile; no
+    # corpus-wide vec_id join between subspaces)
+    kern = clustering.multi_encode_np(
+        {
+            "code0": (cents[0], (0, _PQ_HALF)),
+            "code1": (cents[1], (_PQ_HALF, _PQ_DIM)),
+        },
+        with_dist=True,
+    )
+    nc = kern(clustering._as_double(F.col("embedding")))
     return emb.select(
         "vec_id",
-        *[nc[s]["cid"].cast("bigint").alias(f"code{s}") for s in (0, 1)],
-        *[nc[s]["d"].alias(f"err2_sub{s}") for s in (0, 1)],
-        F.round(nc[0]["d"] + nc[1]["d"], 6).alias("err2_total"),
+        *[nc[f"code{s}"].cast("bigint").alias(f"code{s}") for s in (0, 1)],
+        *[nc[f"code{s}_d"].alias(f"err2_sub{s}") for s in (0, 1)],
+        F.round(nc["code0_d"] + nc["code1_d"], 6).alias("err2_total"),
     )
 
 
@@ -1133,14 +1137,17 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         iters=_PQ_ITERS,
     )
-    # single-pass encode (both subspace argmins in one map-only select —
+    # single-pass encode: both subspace argmins in ONE Arrow-batched
+    # kernel (r9 — attested numerics, no per-entry expression compile;
     # no corpus-wide vec_id join between the subspaces)
+    enc = clustering.multi_encode_np(
+        {
+            "code0": (codebooks[0], (0, _PQ_HALF)),
+            "code1": (codebooks[1], (_PQ_HALF, _PQ_DIM)),
+        }
+    )(clustering._as_double(F.col("embedding")))
     coded = emb.select(
-        "vec_id",
-        *[
-            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
-            for s, sl in halves.items()
-        ],
+        "vec_id", *[enc[f"code{s}"].alias(f"code{s}") for s in (0, 1)]
     )
 
     # per-query ADC tables: k rounded squared distances per subspace,
@@ -1231,18 +1238,21 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str):
         k=_PQ_K,
         iters=_PQ_ITERS,
     )
-    # single-pass encode: coarse + both subspace argmins in ONE map-only
-    # select — the per-subspace assign-then-join-on-vec_id this replaces
-    # shuffles the full corpus once per subspace at scale
+    # single-pass encode: coarse + both subspace argmins in ONE
+    # Arrow-batched kernel (r9 — attested numerics, no 3-quantizer
+    # expression compile) — the per-subspace assign-then-join-on-vec_id
+    # this replaces shuffles the full corpus once per subspace at scale
+    enc = clustering.multi_encode_np(
+        {
+            "cluster": (coarse, None),
+            "code0": (codebooks[0], (0, _PQ_HALF)),
+            "code1": (codebooks[1], (_PQ_HALF, _PQ_DIM)),
+        }
+    )(clustering._as_double(F.col("embedding")))
     index = emb.select(
         "vec_id",
-        clustering.nearest_centroid(F.col("embedding"), coarse)["cid"].alias(
-            "cluster"
-        ),
-        *[
-            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
-            for s, sl in halves.items()
-        ],
+        enc["cluster"].alias("cluster"),
+        *[enc[f"code{s}"].alias(f"code{s}") for s in (0, 1)],
     )
 
     adt = _adc_maps(codebooks, lambda s, cw: _dist2(_as_double(halves[s]), cw))
@@ -2497,15 +2507,21 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         iters=_PQ_ITERS,
     )
-    # single-pass residual encode: both subspace argmins in one map-only
-    # select over resid (no corpus-wide vec_id joins)
+    # single-pass residual encode: both subspace argmins in ONE
+    # Arrow-batched kernel over resid (r9 — attested numerics, no
+    # per-entry expression compile; no corpus-wide vec_id joins). The
+    # residual column is already double, so the kernel's upcast is a
+    # no-op.
+    renc = clustering.multi_encode_np(
+        {
+            "code0": (codebooks[0], (0, _PQ_HALF)),
+            "code1": (codebooks[1], (_PQ_HALF, _PQ_DIM)),
+        }
+    )(F.col("embedding"))
     index = resid.select(
         "vec_id",
         "cluster",
-        *[
-            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
-            for s, sl in halves.items()
-        ],
+        *[renc[f"code{s}"].alias(f"code{s}") for s in (0, 1)],
     )
 
     # per-(query, probe) residual → per-probe ADC tables

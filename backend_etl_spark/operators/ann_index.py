@@ -64,18 +64,21 @@ def build_ivfpq_index(
         k=pq_k,
         iters=pq_iters,
     )
-    # SINGLE-PASS encode: all three argmins in one map-only select — a
+    # SINGLE-PASS encode: all three argmins in ONE Arrow-batched kernel
+    # (r9 — attested numerics, no 3-quantizer expression compile) — a
     # per-subspace assign-then-join-on-vec_id would shuffle the full
     # corpus once per subspace
+    enc = clustering.multi_encode_np(
+        {
+            "cluster": (coarse, None),
+            "code0": (codebooks[0], (0, half)),
+            "code1": (codebooks[1], (half, dim)),
+        }
+    )(clustering._as_double(F.col("embedding")))
     index = emb.select(
         "vec_id",
-        clustering.nearest_centroid(F.col("embedding"), coarse)["cid"].alias(
-            "cluster"
-        ),
-        *[
-            clustering.nearest_centroid(sl, codebooks[s])["cid"].alias(f"code{s}")
-            for s, sl in halves.items()
-        ],
+        enc["cluster"].alias("cluster"),
+        *[enc[f"code{s}"].alias(f"code{s}") for s in (0, 1)],
     )
     # the inverted lists: one directory per coarse cell. At 100 TB this
     # write is the one full shuffle of the build (repartition by cluster

@@ -474,6 +474,7 @@ def kmeans_fit_multi(
 
 def multi_encode_np(
     quantizers: dict[str, tuple[dict[int, list[float]], tuple[int, int] | None]],
+    with_dist: bool = False,
 ):
     """ONE Arrow-batched kernel computing every quantizer's
     nearest-centroid id for a row in a single pass — the IVF-PQ encode
@@ -489,7 +490,10 @@ def multi_encode_np(
     float32→double upcast (both exact), so a subspace fold sees the
     identical IEEE op sequence the F.slice + literal-argmin form
     produced. Returns a pandas_udf yielding
-    ``struct<name:int, ...>`` in ``quantizers`` key order.
+    ``struct<name:int, ...>`` in ``quantizers`` key order;
+    ``with_dist=True`` adds a ``<name>_d`` double field per quantizer —
+    the rounded squared distance to the chosen centroid (same rounding
+    assign_clusters' dist2 column carries).
     """
     names = list(quantizers)
     mats = {}
@@ -497,7 +501,10 @@ def multi_encode_np(
         cids = np.array(sorted(cents), dtype=np.int64)
         C = np.array([cents[c] for c in sorted(cents)], dtype=np.float64)
         mats[name] = (cids, C, span)
-    out_type = "struct<" + ", ".join(f"{n}:int" for n in names) + ">"
+    fields = [f"{n}:int" for n in names]
+    if with_dist:
+        fields += [f"{n}_d:double" for n in names]
+    out_type = "struct<" + ", ".join(fields) + ">"
 
     @F.pandas_udf(out_type)
     def _encode(s: pd.Series) -> pd.DataFrame:
@@ -510,7 +517,10 @@ def multi_encode_np(
                 diff = Xs[:, j, None] - C[None, :, j]
                 D += diff * diff
             D = np.floor(D * 1e6 + 0.5) / 1e6
-            cols[name] = cids[D.argmin(axis=1)].astype("int32")
+            idx = D.argmin(axis=1)
+            cols[name] = cids[idx].astype("int32")
+            if with_dist:
+                cols[f"{name}_d"] = D[np.arange(len(idx)), idx]
         return pd.DataFrame(cols)
 
     return _encode
