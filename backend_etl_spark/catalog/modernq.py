@@ -395,7 +395,10 @@ def streaming_hll_blob_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("hll-stream")
     src, blobs, ckpt = f"{base}/src", f"{base}/blobs", f"{base}/ckpt"
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    # 2 staged files at 1 file/trigger = 2 real micro-batches — the
+    # union-fold property holds at any batch split; half the per-batch
+    # fixed cost (same rationale as streaming_sketch_cms_merge)
+    ev.repartition(2).write.mode("overwrite").parquet(src)
 
     def _partial(batch: DataFrame, batch_id: int) -> None:
         (

@@ -135,7 +135,11 @@ def streaming_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("cms-stream")
     src, sink, ckpt = f"{base}/src", f"{base}/cells", f"{base}/ckpt"
     ev = load_table(spark, sf_dir, "events")
-    ev.select(F.col("user_id").cast("string").alias("k")).repartition(4).write.mode(
+    # 2 staged files at 1 file/trigger = 2 real micro-batches: the merge
+    # property (summed partials == one-shot sketch) is exercised with
+    # half the per-batch fixed cost (the r7 ivfpq A/B: per-batch
+    # machinery dominates tiny partial builds)
+    ev.select(F.col("user_id").cast("string").alias("k")).repartition(2).write.mode(
         "overwrite"
     ).parquet(src)
 
@@ -229,7 +233,11 @@ def streaming_sketch_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
     )
     ev = load_table(spark, sf_dir, "events")
-    ev.select(F.col("user_id").cast("string").alias("k")).repartition(4).write.mode(
+    # 2 staged files at 1 file/trigger = 2 real micro-batches: the merge
+    # property (summed partials == one-shot sketch) is exercised with
+    # half the per-batch fixed cost (the r7 ivfpq A/B: per-batch
+    # machinery dominates tiny partial builds)
+    ev.select(F.col("user_id").cast("string").alias("k")).repartition(2).write.mode(
         "overwrite"
     ).parquet(src)
 
