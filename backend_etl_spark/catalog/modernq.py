@@ -133,8 +133,17 @@ def sketch_hll_datasketches_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
 
-    direct = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    # two-level (r9, see agg_approx_count_distinct): distinct pairs
+    # first, then count + sketch over the pairs — HLL registers are
+    # duplicate-insensitive so the sketch state is identical, and no
+    # sketch buffer rides the per-distinct-key partial state
+    pairs = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    direct = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", _HLL_LGK)).alias("est"),
     )
     # four disjoint shards -> four binary sketches -> one union per group;
