@@ -136,12 +136,10 @@ def sketch_hll_datasketches_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     # two-level (r9, see agg_approx_count_distinct): distinct pairs
     # first, then count + sketch over the pairs — HLL registers are
     # duplicate-insensitive so the sketch state is identical, and no
-    # sketch buffer rides the per-distinct-key partial state
-    pairs = (
-        ev.groupBy("event_type", "user_id")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
-    )
+    # sketch buffer rides the per-distinct-key partial state. NULL keys
+    # dropped first: the sketches and count_distinct ignore them, a
+    # bare pair count would not.
+    pairs = ev.where(F.col("user_id").isNotNull()).distinct()
     direct = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_users"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", _HLL_LGK)).alias("est"),

@@ -423,12 +423,15 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical register state); at 100 TB the pair aggregate is also
     the form with map-side combine on the wide shuffle."""
     tune(spark)
+    # NULL keys dropped up front: count_distinct / COUNT(DISTINCT) /
+    # the sketches all ignore NULL, but a bare count over pairs would
+    # count a (group, NULL) row — filter first so the two-level form
+    # keeps the exact semantics for any input (r9 review)
     pairs = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "user_id")
-        .groupBy("event_type", "user_id")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
     )
     g = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_users"),
@@ -474,12 +477,12 @@ def agg_approx_error_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial state."""
     tune(spark)
     rsd = 0.01
+    # NULL-key filter + bare distinct: see agg_approx_count_distinct
     pairs = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderstatus", "o_custkey")
-        .groupBy("o_orderstatus", "o_custkey")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+        .where(F.col("o_custkey").isNotNull())
+        .distinct()
     )
     g = pairs.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_customers"),

@@ -98,8 +98,9 @@ def binned_interval_count(
     )
     # counts is a keyed aggregate over a growing input (the r6
     # derived-side class): its through-agg size estimate stays tiny, so
-    # unhinted the static planner would broadcast it — merge-hint both
-    # sides; the join key partitioning is reused from the aggregation.
+    # unhinted the static planner would broadcast it — the one-sided
+    # merge hint forces SMJ for the whole join; the join key
+    # partitioning is reused from the aggregation.
     return left.join(counts.hint("merge"), key_cols, "left").select(
         *left.columns,
         F.coalesce(F.col(out_col), F.lit(0)).cast("bigint").alias(out_col),

@@ -48,8 +48,10 @@ def group_quantiles_production(
 ) -> DataFrame:
     """Per-group quantiles via ONE Greenwald–Khanna sketch per group —
     the 100 TB form of the exact ``percentile(col, array(...))``
-    entries. Output columns are ``p<q*100>`` (e.g. p50), matching
-    ``agg_quantile_family``'s shape so the two are drop-in swaps.
+    entries. Output columns are ``p<q*100>`` with '.'→'_' for
+    sub-percent targets (p50, p99, p99_5, p12_5) — integer-percent
+    lists match ``agg_quantile_family``'s shape so the two are drop-in
+    swaps; duplicate names raise.
 
     Mergeable sketch state ⇒ map-side partial aggregation works and the
     shuffle moves one sketch per (partition, group), never the values;
@@ -57,6 +59,16 @@ def group_quantiles_production(
     lies between the exact (q − 1/accuracy) and (q + 1/accuracy)
     group quantiles (test-pinned at sf0.1).
     """
+    def _name(q: float) -> str:
+        # exact decimal of q*100 with '.'→'_' (p25, p99, p99_5, p12_5)
+        # — round() would banker's-round 0.125 to p12 and collide
+        # 0.995 with 1.0 at p100 (r9 review)
+        s = f"{q * 100:.6f}".rstrip("0").rstrip(".")
+        return "p" + s.replace(".", "_")
+
+    names = [_name(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile output names: {names}")
     pcts = ", ".join(str(float(q)) for q in qs)
     agg = df.groupBy(*group_cols).agg(
         F.expr(
@@ -66,7 +78,7 @@ def group_quantiles_production(
     return agg.select(
         *group_cols,
         *[
-            F.round(F.col("_q")[i], round_dp).alias(f"p{round(q * 100):d}")
-            for i, q in enumerate(qs)
+            F.round(F.col("_q")[i], round_dp).alias(n)
+            for i, n in enumerate(names)
         ],
     )

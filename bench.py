@@ -207,12 +207,15 @@ def main() -> None:
         }
         # contention-adjudicated total: in-run total with each mover's
         # solo best-of-2 substituted — the apples-to-apples cross-round
-        # comparator the r8 judge had to compute by hand
-        out["value_adjudicated"] = round(
-            sum(times.values())
-            + sum(v["solo"] - v["in_run"] for v in contended.values()),
-            3,
-        )
+        # comparator the r8 judge had to compute by hand. Same partial
+        # rule as `value` (r9 review): with any error this is an N-1
+        # sum and must not masquerade as a full-catalog comparator.
+        if not errors:
+            out["value_adjudicated"] = round(
+                sum(times.values())
+                + sum(v["solo"] - v["in_run"] for v in contended.values()),
+                3,
+            )
     if errors:
         out["n_errors"] = len(errors)
         out["partial"] = True

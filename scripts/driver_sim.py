@@ -77,10 +77,20 @@ def _head_commit() -> str:
     try:
         import subprocess
 
-        return subprocess.run(
+        head = subprocess.run(
             ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
+        ).stdout.strip()
+        if not head:
+            return "unknown"
+        # a dirty tree is NOT the committed code: stamp it as such so
+        # resume can't skip greens written against uncommitted edits
+        # (r9 review — the stale-green case the stamp exists to catch)
+        dirty = subprocess.run(
+            ["git", "-C", "/root/repo", "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{head}-dirty" if dirty else head
     except Exception:  # noqa: BLE001 - ledger provenance is best-effort
         return "unknown"
 

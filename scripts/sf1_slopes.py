@@ -154,10 +154,21 @@ def main() -> None:
             return round(best, 3)
 
         # same env var bench.py honors — a sweep run with
-        # SPARK_GRAFT_SF_DIR pointed elsewhere must retime against the
-        # same sf0.1 data it benched (r8 advice)
-        sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
-                                  "/root/testdata/sf0.1")
+        # SPARK_GRAFT_SF_DIR pointed at a NON-default sf0.1 copy must
+        # retime against the data it benched (r8 advice). Guard (r9
+        # review): the documented sf1 workflow EXPORTS this var pointed
+        # at the sf1 dir; retiming both legs on sf1 would zero every
+        # slope and silently clear real flags, so anything that doesn't
+        # look like sf0.1 data falls back to the canonical dir (the one
+        # bench_full.json, the baseline being adjudicated, was run on).
+        env_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "")
+        if env_dir and os.path.basename(env_dir.rstrip("/")) == "sf0.1":
+            sf01_dir = env_dir
+        else:
+            sf01_dir = "/root/testdata/sf0.1"
+            if env_dir:
+                print(f"(retime: ignoring SPARK_GRAFT_SF_DIR={env_dir} — "
+                      f"not an sf0.1 dir; using {sf01_dir})")
         still = []
         for row in flagged:
             rb = solo(row["name"], sf01_dir)
