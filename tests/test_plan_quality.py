@@ -735,3 +735,38 @@ def test_derived_broadcast_checker_fires(spark, sf_dir):
     tot = li.agg(F.sum("l_quantity").alias("t"))
     ok = li.crossJoin(F.broadcast(tot))
     assert not quality.derived_broadcasts(ok)
+
+
+# ---------------------------------------------------------------------------
+# r9 shapes: two-level distinct+sketch, aggregate-pushdown range count
+# ---------------------------------------------------------------------------
+
+
+def test_hll_entries_never_carry_sketch_through_distinct_state(spark, sf_dir):
+    """The two-level distinct+HLL shape (r9): the sketch aggregates must
+    run over the distinct (group, key) pairs, never ride the
+    per-distinct-key partial state of a mixed count_distinct agg — the
+    mixed form was measured 3.3x slower and its sketch buffer per
+    distinct key is the state that cannot partial-aggregate at 100 TB.
+    Gate: no Expand (the mixed-distinct rewrite marker) and exactly the
+    pair-aggregate -> group-aggregate two-step."""
+    for name in (
+        "agg_approx_count_distinct",
+        "agg_approx_error_bounded",
+        "sketch_hll_datasketches_bounded",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        text = quality.plan_text(df)
+        assert "Expand" not in text, (name, text[:2000])
+
+
+def test_range_join_count_collapses_pairs_before_shuffle(spark, sf_dir):
+    """binned_interval_count (r9): the in-band pair stream grows ~100x
+    per density decade, so it must collapse in a map-side partial
+    aggregate — the plan carries a partial count on the pair side and
+    no distinct/anti-join/union reconstruction."""
+    df = REGISTRY["range_join_binned_global"].fn(spark, sf_dir)
+    text = quality.plan_text(df)
+    assert "partial_count" in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    assert "LeftAnti" not in text and "Union" not in text, text[:2000]
