@@ -325,8 +325,10 @@ def streaming_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-pass encode: coarse + both subspace argmins in ONE
     # Arrow-batched kernel (no per-subspace vec_id joins — see
     # ann_index). r9: the kernel replaces three literal-centroid argmin
-    # expressions — bit-identical output (verified exhaustively on the
-    # full fixture corpus) at ~3.6x the throughput, and no janino
+    # expressions — attested identical on the fixture corpus (the two
+    # paths round differently only in the .5e-6-midpoint ulp class,
+    # attested absent here; see _assign_np_udf's caveat — new data
+    # re-checks, not trusts) at ~3.6x the throughput, and no janino
     # compile of the 3-quantizer expression tree on the entry's cold
     # path. Centroids ride the UDF closure — the k×dim broadcast
     # pattern, nothing driver-side per row.

@@ -508,6 +508,25 @@ def multi_encode_np(
 
     @F.pandas_udf(out_type)
     def _encode(s: pd.Series) -> pd.DataFrame:
+        # empty Arrow batch (plausible on streaming foreachBatch
+        # partitions): np.stack raises on a zero-length sequence — return
+        # the correctly-typed empty frame instead
+        if len(s) == 0:
+            empty: dict[str, pd.Series] = {n: pd.Series(dtype="int32") for n in names}
+            if with_dist:
+                empty.update(
+                    {f"{n}_d": pd.Series(dtype="float64") for n in names}
+                )
+            return pd.DataFrame(empty)
+        # NULL embeddings stack to object dtype and fail deep inside the
+        # fold with an opaque error — fail fast with the real cause (the
+        # kernel's contract is non-null fixed-width vectors, same as
+        # _assign_np_udf)
+        if s.isna().any():
+            raise ValueError(
+                "multi_encode_np: NULL embedding in batch — the encode "
+                "kernel requires non-null fixed-width vectors"
+            )
         X = np.stack(s.to_numpy()).astype(np.float64)
         cols = {}
         for name, (cids, C, span) in mats.items():

@@ -184,10 +184,11 @@ def lsh_candidate_pairs(
 
 def incremental_lsh_matches(
     batch_sigs: DataFrame,
-    corpus_sigs: DataFrame,
+    corpus_sigs: DataFrame | None,
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = 1,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-snapshot) near-dup check: for every document in
     the incoming BATCH, find near-dup candidates in the existing CORPUS
@@ -208,12 +209,23 @@ def incremental_lsh_matches(
 
     Returns one row per batch doc (including novel ones):
     (batch_doc_id, n_corpus_matches, best_match_id, is_novel).
+
+    ``corpus_bands``: optionally pass the corpus side already melted to
+    (corpus_doc_id, band_id, band_value) — the streaming drain
+    checkpoints the MELTED index once so repeated probes (one per
+    micro-batch) skip the per-probe stack projection; at 100 TB this is
+    exactly the persisted band table. When given, ``corpus_sigs`` is
+    unused (may be None).
     """
     bb = signature_bands(batch_sigs, id_col, num_hashes, rows_per_band).select(
         F.col(id_col).alias("batch_doc_id"), "band_id", "band_value"
     )
-    cb = signature_bands(corpus_sigs, id_col, num_hashes, rows_per_band).select(
-        F.col(id_col).alias("corpus_doc_id"), "band_id", "band_value"
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else signature_bands(corpus_sigs, id_col, num_hashes, rows_per_band).select(
+            F.col(id_col).alias("corpus_doc_id"), "band_id", "band_value"
+        )
     )
     hits = (
         bb.hint("merge").join(cb.hint("merge"), ["band_id", "band_value"])

@@ -74,6 +74,7 @@ def binned_interval_count(
     band_s: int,
     key_cols: list[str],
     out_col: str = "n_in_band",
+    check_unique: bool = False,
 ) -> DataFrame:
     """Per-left-row COUNT of right rows in ``(left_ts − band_s, left_ts]``
     — the aggregate-pushdown form of ``binned_interval_join(how='left')``
@@ -88,8 +89,28 @@ def binned_interval_count(
     the key instead of the generic path's distinct → anti-join → union
     → re-aggregate, which shuffled the full super-linear pair stream
     three times. ``key_cols`` must uniquely identify left rows (the
-    count is per left ROW).
+    count is per left ROW) — under duplicate keys this form silently
+    differs from the join+groupBy it replaces: each duplicate left row
+    receives the MERGED per-key count and survives as its own output
+    row. ``check_unique=True`` enforces the contract with one cheap
+    keyed aggregate over ``left`` (debug/test use; leave off on the
+    hot path).
     """
+    if check_unique:
+        dup = (
+            left.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "binned_interval_count: key_cols do not uniquely identify "
+                f"left rows (e.g. {dict((c, dup[0][c]) for c in key_cols)} "
+                f"appears {dup[0]['__n']} times) — the per-row count "
+                "contract is violated"
+            )
     inner = binned_interval_join(
         left, right, left_ts, right_ts, band_s, how="inner"
     )

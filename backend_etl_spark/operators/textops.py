@@ -448,14 +448,24 @@ def bpe_train_merges(
       `replace` — left-to-right, non-overlapping, and boundary-safe
       ('xa','b' can never match the ('a','b') pattern), the exact
       semantics reproduced by DuckDB's replace() in the oracle.
-    - The argmax pair (count desc, pair asc) is a 1-row collect per
-      iteration — same driver-side control-loop discipline as
-      kmeans_fit's centroid pull.
+    - ONE Spark job per iteration (r10 — the r9 drift postmortem: the
+      loop ran THREE jobs per merge — best-pair collect, eager
+      checkpoint, vocab count-distinct — and the fixed per-job overhead
+      compounded across rounds). The pair argmax and the previous
+      merge's ``vocab_size_after`` now ride a single tagged-union
+      aggregate ('p' rows = freq-weighted adjacent pairs, 'v' rows =
+      symbols; two-level groupBy -> 2-row collect), the per-iteration
+      eager checkpoint is gone (the merge is one literal replace over
+      the Zipf table — recomputing the chain from the checkpointed base
+      is map-side-cheap, and a checkpoint every 8 merges bounds lineage
+      for production n_merges), and only the final merge pays a
+      trailing vocab-only job.
+    - The 2-row collect per iteration keeps the same driver-side
+      control-loop discipline as kmeans_fit's centroid pull.
 
     Words containing the sentinel bytes are dropped (impossible in
     normalized text; guarded identically in the oracle).
     """
-    spark = df.sparkSession
     sep2 = BPE_SEP + BPE_SEP
     from backend_etl_spark.operators.partitioning import spread
 
@@ -486,9 +496,10 @@ def bpe_train_merges(
     def symbols(col):
         return F.split(F.substring(col, 2, F.length(col) - 2), sep2)
 
-    merges = []
-    cur = words
-    for rank in range(1, n_merges + 1):
+    def pair_and_vocab(frame) -> tuple[tuple[int, str] | None, int]:
+        """One job: (best (count, pair) or None if no word has >=2
+        symbols, distinct-symbol count). Pairs and symbols share one
+        tagged union -> groupBy(tag, val) -> per-tag argmin/count."""
         sym = symbols(F.col("s"))
         pair = F.explode(
             F.transform(
@@ -498,21 +509,54 @@ def bpe_train_merges(
                 ),
             )
         )
-        best = (
-            cur.where(F.size(sym) >= 2)
-            .select(pair.alias("pair"), "freq")
-            .groupBy("pair")
+        tagged = (
+            frame.where(F.size(sym) >= 2)
+            .select(F.lit("p").alias("tag"), pair.alias("val"), "freq")
+            .unionByName(
+                frame.select(
+                    F.lit("v").alias("tag"),
+                    F.explode(sym).alias("val"),
+                    F.lit(1).cast("bigint").alias("freq"),
+                )
+            )
+        )
+        rows = (
+            tagged.groupBy("tag", "val")
             .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
+            .groupBy("tag")
+            .agg(
+                # argmax on (cnt desc, pair asc) == struct-min on
+                # (-cnt, pair); struct comparison is field-lexicographic
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("val").alias("pair")
+                    )
+                ).alias("best"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
-        if not best:
-            break
-        lhs, rhs = best[0]["pair"].split(BPE_PSEP)
-        cnt = best[0]["cnt"]
+        by_tag = {r["tag"]: r for r in rows}
+        vocab = int(by_tag["v"]["n"]) if "v" in by_tag else 0
+        if "p" not in by_tag:
+            return None, vocab
+        b = by_tag["p"]["best"]
+        return (int(-b["nc"]), b["pair"]), vocab
+
+    merges: list[dict] = []
+    cur = words
+    for rank in range(1, n_merges + 1):
+        best, vocab = pair_and_vocab(cur)
+        if merges:
+            # cur is the table AFTER the previous merge: this job's
+            # vocab IS that merge's vocab_size_after
+            merges[-1]["vocab_size_after"] = vocab
+        if best is None:
+            return merges
+        cnt, best_pair = best
         if cnt < min_pair_count:
-            break  # converged: merging a once-seen pair gains nothing
+            return merges  # converged: a once-seen merge compresses nothing
+        lhs, rhs = best_pair.split(BPE_PSEP)
         cur = cur.select(
             F.replace(
                 F.col("s"),
@@ -520,20 +564,25 @@ def bpe_train_merges(
                 F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
             ).alias("s"),
             "freq",
-        ).localCheckpoint(eager=True)
-        vocab_after = (
-            cur.select(F.explode(symbols(F.col("s"))).alias("sym"))
-            .agg(F.count_distinct("sym"))
-            .collect()[0][0]
         )
+        if rank % 8 == 0:  # bound lineage for production merge counts
+            cur = cur.localCheckpoint(eager=True)
         merges.append(
             {
                 "merge_rank": rank,
                 "lhs": lhs,
                 "rhs": rhs,
                 "pair_count": int(cnt),
-                "vocab_size_after": int(vocab_after),
+                "vocab_size_after": None,  # filled by the next iteration
             }
+        )
+    if merges and merges[-1]["vocab_size_after"] is None:
+        # the last merge applied with no following iteration: one
+        # trailing vocab-only job
+        merges[-1]["vocab_size_after"] = int(
+            cur.select(F.explode(symbols(F.col("s"))).alias("sym"))
+            .agg(F.count_distinct("sym"))
+            .collect()[0][0]
         )
     return merges
 

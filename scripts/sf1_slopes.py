@@ -48,6 +48,52 @@ OUTPUT_BOUND_EXEMPT = {
 }
 
 
+def output_bound_annotation(
+    name: str,
+    b: float,
+    t: float,
+    sb: float,
+    st: float,
+    prev_per_row_sf1: float | None,
+) -> dict:
+    """Build the exemption annotation for an OUTPUT_BOUND_EXEMPT entry.
+
+    r9 verdict item 5: the growth-ratio form (wall_growth <= out_growth)
+    silently absorbs a DENOMINATOR speedup — when sf0.1 gets faster the
+    slope rises but the 92x/297x output-growth headroom still swallows a
+    real sf1-side regression. So the annotation now publishes absolute
+    per-output-row cost at both SFs (solo-adjudicated wall / output
+    rows, in microseconds) and carries ``per_row_drift`` when the sf1
+    per-row cost rose >1.3x above the PREVIOUS published record — an
+    sf1 regression can no longer hide inside the exemption even while
+    ``per_row_ok`` passes.
+    """
+    ex = OUTPUT_BOUND_EXEMPT[name]
+    out_growth = ex["out_sf1"] / ex["out_sf0.1"]
+    wall_growth = t / b
+    pr0 = sb / ex["out_sf0.1"] * 1e6
+    pr1 = st / ex["out_sf1"] * 1e6
+    ann = {
+        **ex,
+        "output_growth": round(out_growth, 1),
+        "wall_growth": round(wall_growth, 1),
+        # per-output-row cost must not RISE a decade up, or the
+        # exemption is hiding a real engine regression
+        "per_row_ok": wall_growth <= out_growth,
+        "per_row_cost_us_sf0.1": round(pr0, 3),
+        "per_row_cost_us_sf1": round(pr1, 3),
+    }
+    if prev_per_row_sf1 is not None and prev_per_row_sf1 > 0:
+        ann["per_row_cost_us_sf1_prev"] = prev_per_row_sf1
+        if pr1 > 1.3 * prev_per_row_sf1:
+            ann["per_row_drift"] = {
+                "prev": prev_per_row_sf1,
+                "now": round(pr1, 3),
+                "ratio": round(pr1 / prev_per_row_sf1, 2),
+            }
+    return ann
+
+
 def _times(path: str) -> tuple[dict[str, float], dict[str, float]]:
     """(in-run times, solo times from the record's contended
     annotations). Published numbers stay in-run — the solo map is
@@ -80,8 +126,20 @@ def main() -> None:
     shared = sorted(set(base) & set(sf1))
     missing = sorted(set(base) ^ set(sf1))
 
+    # previous record's published per-row costs — the drift baseline
+    prev_per_row: dict[str, float] = {}
+    try:
+        with open(os.path.join(HERE, "sf1_slopes.json")) as fh:
+            for w in json.load(fh).get("worst10", []):
+                ob = w.get("output_bound", {})
+                if "per_row_cost_us_sf1" in ob:
+                    prev_per_row[w["name"]] = ob["per_row_cost_us_sf1"]
+    except Exception:
+        pass
+
     rows = []
     flagged = []
+    per_row_drift = []
     for name in shared:
         b, t = base[name], sf1[name]
         slope = math.log10(t / b) if b > 0 else float("inf")
@@ -93,23 +151,21 @@ def main() -> None:
             "slope": round(slope, 3),
             "sub_floor": sub_floor,
         }
+        # solo evidence first — the exemption's per-row costs and any
+        # flag adjudication both read the solo-adjudicated numbers
+        sb, st = base_solo.get(name, b), sf1_solo.get(name, t)
         if name in OUTPUT_BOUND_EXEMPT:
-            ex = OUTPUT_BOUND_EXEMPT[name]
-            out_growth = ex["out_sf1"] / ex["out_sf0.1"]
-            wall_growth = t / b
-            row["output_bound"] = {
-                **ex,
-                "output_growth": round(out_growth, 1),
-                "wall_growth": round(wall_growth, 1),
-                # per-output-row cost must not RISE a decade up, or the
-                # exemption is hiding a real engine regression
-                "per_row_ok": wall_growth <= out_growth,
-            }
+            row["output_bound"] = output_bound_annotation(
+                name, b, t, sb, st, prev_per_row.get(name)
+            )
+            if "per_row_drift" in row["output_bound"]:
+                per_row_drift.append(
+                    {"name": name, **row["output_bound"]["per_row_drift"]}
+                )
         # a flag must survive the solo evidence: if the record's own
         # contention adjudication re-timed either end solo and the
         # solo-based slope clears the bar, the flag is in-run noise
         # (kept as an annotation, not a flag)
-        sb, st = base_solo.get(name, b), sf1_solo.get(name, t)
         solo_slope = math.log10(st / sb) if sb > 0 else float("inf")
         if (sb, st) != (b, t):
             row["solo_slope"] = round(solo_slope, 3)
@@ -194,6 +250,7 @@ def main() -> None:
         "max_slope_bar": max_slope,
         "floor_secs": floor,
         "flagged": flagged,
+        "per_row_drift": per_row_drift,
         "missing_in_one": missing,
         "worst10": rows[:10],
         "slopes": {r["name"]: r["slope"] for r in rows},
@@ -215,7 +272,15 @@ def main() -> None:
               f"slope {r['slope']:+.2f}{mark}")
     if flagged:
         print(f"FLAGGED {len(flagged)} entries above the bar")
-    sys.exit(1 if flagged else 0)
+    if per_row_drift:
+        print(
+            f"PER-ROW DRIFT {len(per_row_drift)} exempt entries' sf1 "
+            f"per-output-row cost rose >1.3x vs the previous record: "
+            + ", ".join(
+                f"{d['name']} {d['prev']}->{d['now']}us" for d in per_row_drift
+            )
+        )
+    sys.exit(1 if (flagged or per_row_drift) else 0)
 
 
 if __name__ == "__main__":

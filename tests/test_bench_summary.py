@@ -55,3 +55,32 @@ def test_headline_survives_even_pathological_payloads():
     line = bench.build_summary_line(rec)
     assert len(line) <= bench.MAX_SUMMARY_CHARS
     assert json.loads(line)["metric"] == "catalog_total_runtime"
+
+
+def test_caller_record_is_not_mutated():
+    # r9 advice: the shed loop popped fields from the CALLER's dict, so
+    # the full-file record silently lost whatever the line shed
+    rec = _record(95)
+    before = json.dumps(rec, sort_keys=True)
+    bench.build_summary_line(rec)
+    assert json.dumps(rec, sort_keys=True) == before
+
+
+def test_backstop_caps_line_even_when_headline_fields_grow():
+    # r9 advice: a future oversized HEADLINE field (not one of the three
+    # shed maps) used to sail past the cap and reintroduce parsed:null
+    rec = _record(95)
+    rec["some_future_field"] = ["x" * 50] * 100  # ~5 KB, not sheddable
+    line = bench.build_summary_line(rec)
+    assert len(line) <= bench.MAX_SUMMARY_CHARS
+    d = json.loads(line)  # still parsable after the essential-key strip
+    assert d["value"] == 225.499 and d["value_adjudicated"] == 214.067
+
+
+def test_highwater_count_survives_shedding():
+    rec = _record(95)
+    rec["n_highwater"] = 2
+    rec["highwater"] = {"bpe_train_merges": {"now": 4.97, "best3": 3.37}}
+    line = bench.build_summary_line(rec)
+    assert len(line) <= bench.MAX_SUMMARY_CHARS
+    assert json.loads(line)["n_highwater"] == 2

@@ -327,3 +327,39 @@ def test_token_budget_pack_boundary(spark):
         for r in token_budget_pack(df, "id", "n_tokens", F2.col("q"), budget=100).collect()
     }
     assert kept == {1, 2}  # 40 + 60 == budget; doc 3 would exceed it
+
+
+def test_binned_interval_count_check_unique(spark):
+    """r9 advice: under duplicate key_cols the aggregate-pushdown form
+    silently hands every duplicate left row the MERGED per-key count —
+    check_unique=True must refuse instead of mis-counting."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from backend_etl_spark.operators.interval import binned_interval_count
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01 10:04:00"))], "rid bigint, rts timestamp"
+    )
+    uniq = spark.createDataFrame(
+        [(1, t("2024-01-01 10:05:00")), (2, t("2024-01-01 11:00:00"))],
+        "lid bigint, lts timestamp",
+    )
+    out = {
+        r["lid"]: r["n_in_band"]
+        for r in binned_interval_count(
+            uniq, right, "lts", "rts", 300, ["lid"], check_unique=True
+        ).collect()
+    }
+    assert out == {1: 1, 2: 0}
+
+    dup = spark.createDataFrame(
+        [(1, t("2024-01-01 10:05:00")), (1, t("2024-01-01 10:06:00"))],
+        "lid bigint, lts timestamp",
+    )
+    with _pytest.raises(ValueError, match="uniquely identify"):
+        binned_interval_count(
+            dup, right, "lts", "rts", 300, ["lid"], check_unique=True
+        )

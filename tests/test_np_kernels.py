@@ -133,3 +133,25 @@ def test_np_drop_kernel_matches_catalyst_self_join(spark):
     }
     assert got == want and len(got) > 0
     e.unpersist()
+
+
+def test_multi_encode_empty_batch_and_null_guards(spark):
+    """r9 advice: np.stack raises on a zero-row Arrow batch (plausible on
+    streaming foreachBatch partitions) and object-stacks NULLs into an
+    opaque failure — the kernel must return a typed empty frame for the
+    former and fail fast with the real cause for the latter."""
+    import pandas as pd
+
+    cents = {0: [0.0, 0.0], 1: [1.0, 1.0]}
+    fn = clustering.multi_encode_np({"c": (cents, None)}, with_dist=True).func
+
+    out = fn(pd.Series([], dtype=object))
+    assert list(out.columns) == ["c", "c_d"]
+    assert len(out) == 0
+    assert str(out["c"].dtype) == "int32" and str(out["c_d"].dtype) == "float64"
+
+    with pytest.raises(ValueError, match="NULL embedding"):
+        fn(pd.Series([[0.1, 0.2], None], dtype=object))
+
+    ok = fn(pd.Series([[0.1, 0.2], [0.9, 1.1]], dtype=object))
+    assert list(ok["c"]) == [0, 1]
