@@ -110,9 +110,14 @@ def main() -> None:
         # executor threads, block manager and localCheckpoint blocks;
         # the fresh context re-warms on two cheap entries so the next
         # family isn't billed the cold start.
+        # a failed recycle must degrade to "keep the old session", never
+        # kill a 200-entry run half-way through
         nonlocal spark
-        spark.stop()
-        spark = get_spark("backend-etl-spark-bench")
+        try:
+            spark.stop()
+            spark = get_spark("backend-etl-spark-bench")
+        except Exception:
+            spark = get_spark("backend-etl-spark-bench")
         warmup()
 
     # entries between session recycles; 0 disables (the pre-r10 behavior)
@@ -248,9 +253,26 @@ def main() -> None:
                     hw["solo"] / hw["best3"] > 1.3
                     and hw["solo"] - hw["best3"] > 0.25
                 )
-        # roll the history forward only on a full-success run — a partial
-        # map must not become a future round's comparator
-        if not errors:
+                # solo readings are box-relative too (measured 3x spread
+                # on identical code across one session's hours): when
+                # the run itself is heavily contended (>10% of entries
+                # flagged), a confirmed drift is more likely box than
+                # code — annotate so readers don't call it a regression
+                if hw["drift"] and len(contended) > len(times) // 10:
+                    hw["box_degraded_run"] = True
+        # Rolling the history forward is EXPLICIT (--roll-history /
+        # SPARK_GRAFT_BENCH_ROLL=1), full-success only: the first r10
+        # session auto-appended every run, and by run 3 "3-round best"
+        # had become "this session's own cleanest solo moments" — a
+        # ratchet that manufactured 10 drift flags out of ordinary
+        # run-to-run jitter on a busy box. The history's contract is one
+        # record per ROUND (the canonical clean run), promoted
+        # deliberately at round end.
+        roll = (
+            "--roll-history" in sys.argv
+            or os.environ.get("SPARK_GRAFT_BENCH_ROLL") == "1"
+        )
+        if roll and not errors:
             history.append(
                 {
                     "stamp": f"run_{int(time.time())}",
