@@ -463,22 +463,29 @@ def cluster_components(
         # becomes the bottleneck. Reliable vs local is the caller's
         # checkpoint_dir choice. The convergence signal rides the SAME
         # materialization via Observation — one job per round, no
-        # separate count.
+        # separate count. The OLD label is carried THROUGH the fold
+        # (tagged row + conditional min — each node has exactly one old
+        # row) instead of re-joined afterwards: the checkpoint erases
+        # partitioning info, so that compare-join reshuffled both sides
+        # every round; folding it away cuts one shuffle + one join per
+        # round with identical labels and convergence semantics (r10).
         from pyspark.sql import Observation
 
         folded = (
-            labels.unionByName(incoming)
+            labels.select("node", "label", F.lit(1).alias("__old"))
+            .unionByName(incoming.select("node", "label", F.lit(0).alias("__old")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__old") == 1, F.col("label"))).alias("__prev"),
+            )
         )
         obs = Observation()
         with_flag = (
-            folded.alias("n")
-            .join(labels.alias("o"), "node")
-            .select(
-                F.col("node"),
-                F.col("n.label").alias("label"),
-                (F.col("n.label") != F.col("o.label")).cast("int").alias("__chg"),
+            folded.select(
+                "node",
+                "label",
+                (F.col("label") != F.col("__prev")).cast("int").alias("__chg"),
             )
             .observe(obs, F.sum("__chg").alias("changed"))
             .select("node", "label")
