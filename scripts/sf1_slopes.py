@@ -126,11 +126,17 @@ def main() -> None:
     shared = sorted(set(base) & set(sf1))
     missing = sorted(set(base) ^ set(sf1))
 
-    # previous record's published per-row costs — the drift baseline
+    # previous record's published per-row costs — the drift baseline.
+    # Read the dedicated field first (survives an exempt entry dropping
+    # out of worst10); fall back to worst10 for records written before
+    # the field existed.
     prev_per_row: dict[str, float] = {}
     try:
         with open(os.path.join(HERE, "sf1_slopes.json")) as fh:
-            for w in json.load(fh).get("worst10", []):
+            prev_rec = json.load(fh)
+        prev_per_row.update(prev_rec.get("per_row_costs", {}))
+        if not prev_per_row:
+            for w in prev_rec.get("worst10", []):
                 ob = w.get("output_bound", {})
                 if "per_row_cost_us_sf1" in ob:
                     prev_per_row[w["name"]] = ob["per_row_cost_us_sf1"]
@@ -251,6 +257,13 @@ def main() -> None:
         "floor_secs": floor,
         "flagged": flagged,
         "per_row_drift": per_row_drift,
+        # durable per-row-cost baseline for the NEXT run's drift check
+        # (not worst10-dependent)
+        "per_row_costs": {
+            r["name"]: r["output_bound"]["per_row_cost_us_sf1"]
+            for r in rows
+            if "output_bound" in r
+        },
         "missing_in_one": missing,
         "worst10": rows[:10],
         "slopes": {r["name"]: r["slope"] for r in rows},
