@@ -120,8 +120,16 @@ def main() -> None:
             spark = get_spark("backend-etl-spark-bench")
         warmup()
 
-    # entries between session recycles; 0 disables (the pre-r10 behavior)
-    recycle_every = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "50"))
+    # entries between session recycles; 0 disables (the pre-r10
+    # behavior). Big-SF runs accumulate JVM state faster per entry
+    # (the r8 finding), and a same-day r10 A/B at sf1 halved the
+    # contention-flag count at interval 30 vs 50 (53 -> 25) on a flat
+    # in-run total — so non-default SFs default tighter.
+    _sf_dir_name = os.path.basename(sf_dir.rstrip("/"))
+    _default_recycle = "50" if _sf_dir_name == "sf0.1" else "30"
+    recycle_every = int(
+        os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", _default_recycle)
+    )
 
     if not cold:
         warmup()
