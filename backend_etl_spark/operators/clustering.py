@@ -485,11 +485,16 @@ def multi_encode_np(
     Per quantizer the numerics are EXACTLY _assign_np_udf's (sequential
     dim fold — vectorized across the batch, looped over dims — then
     floor(d·1e6 + 0.5)/1e6 rounding and first-minimum tie-break), i.e.
-    the same attested kernel assign_clusters uses for k ≥
-    NP_ASSIGN_MIN_K, applied per subspace. Slicing commutes with the
-    float32→double upcast (both exact), so a subspace fold sees the
-    identical IEEE op sequence the F.slice + literal-argmin form
-    produced. Returns a pandas_udf yielding
+    the same kernel assign_clusters uses for k ≥ NP_ASSIGN_MIN_K,
+    applied per subspace. Slicing commutes with the float32→double
+    upcast (both exact), so a subspace FOLD sees the identical IEEE op
+    sequence the F.slice + literal-argmin form produced; equality of
+    the final ASSIGNMENT vs the literal path is attested on the fixture
+    corpus, not universal — the two paths' rounding semantics diverge
+    on distances within an ulp of an exact .5e-6 decimal midpoint and
+    can then flip the argmin (the constructed witness in
+    tests/test_r11_mechanisms.py pins the class; a data change
+    re-attests rather than trusts). Returns a pandas_udf yielding
     ``struct<name:int, ...>`` in ``quantizers`` key order;
     ``with_dist=True`` adds a ``<name>_d`` double field per quantizer —
     the rounded squared distance to the chosen centroid (same rounding

@@ -97,6 +97,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     n: int = DEFAULT_SHINGLE,
+    conflict_safe: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: for hash i, min over shingles of
     md5('<i>#' || shingle). One explode + one groupBy — linear, one shuffle.
@@ -107,7 +108,45 @@ def minhash_signatures(
     Non-distinct shingles: min() is duplicate-insensitive, so the
     dedup shuffle is skipped — explode feeds the partial aggregation
     directly (map-side combine collapses duplicates for free).
+
+    ``conflict_safe``: the plain min() fold assumes any redelivery of an
+    id is byte-identical — if one input carries the same id with TWO
+    different payloads, their shingle sets merge into a chimera
+    signature matching neither version (r10 ADVICE). With
+    ``conflict_safe=True`` each shingle hash is folded as
+    min(struct(content_key, hash)): struct ordering compares the
+    content key first, so the aggregate deterministically lands on the
+    lowest-md5(text) version's own minhash — winner-takes-all per id,
+    in the SAME single groupBy, no extra shuffle. Costs a wider agg
+    state (one 32-char key alongside each hash), so the default batch
+    path (unique ids by construction) keeps the narrow fold.
     """
+    if conflict_safe:
+        base = spread(
+            df.select(F.col(id_col), F.col(text_col)).withColumn(
+                "_ck", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+            ),
+            id_col,
+        )
+        sh = base.select(
+            F.col(id_col),
+            F.col("_ck"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        aggs = [
+            F.min(
+                F.struct(
+                    F.col("_ck").alias("c"),
+                    F.md5(
+                        F.concat_ws("#", F.lit(str(i)), F.col("shingle"))
+                    ).alias("h"),
+                )
+            )
+            .getField("h")
+            .alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+        return sh.groupBy(id_col).agg(*aggs)
     sh = doc_shingles(df, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")

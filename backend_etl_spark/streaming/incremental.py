@@ -93,10 +93,13 @@ def stream_dedup_against_corpus(
     at 100 TB: a persisted table bucketed on band_value — and only the
     micro-batch side moves per trigger; the probe join is
     O(|batch| × bucket), corpus-size-independent. Redelivered docs are
-    absorbed twice over: the minhash groupBy within the batch (min() is
-    duplicate-insensitive, so duplicate doc rows collapse to the same
-    signature without a separate dropDuplicates shuffle — r10, one
-    shuffle fewer per micro-batch), anti-join at the sink across
+    absorbed twice over: the conflict-safe minhash groupBy within the
+    batch (byte-identical redeliveries collapse because min() is
+    duplicate-insensitive; CONFLICTING payloads for one doc_id resolve
+    winner-takes-all to the lowest-content-hash version via the
+    struct-ordered fold — r10 ADVICE: the plain fold would merge both
+    versions' shingles into a chimera signature — still one shuffle,
+    no per-batch dropDuplicates), anti-join at the sink across
     batches/restarts.
     """
     import pyspark.sql.functions as F
@@ -117,7 +120,8 @@ def stream_dedup_against_corpus(
     )
 
     def _probe(batch: DataFrame, batch_id: int) -> None:
-        bsig = dedup.minhash_signatures(batch, "doc_id", "text")
+        bsig = dedup.minhash_signatures(batch, "doc_id", "text",
+                                        conflict_safe=True)
         out = dedup.incremental_lsh_matches(
             bsig, None, "doc_id", corpus_bands=corpus_bands
         )

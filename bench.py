@@ -43,7 +43,8 @@ MAX_SUMMARY_CHARS = 1800
 ESSENTIAL_KEYS = (
     "metric", "value", "unit", "n_ok", "n_total", "queries_file", "sf",
     "variant", "n_contended", "value_adjudicated", "n_errors", "partial",
-    "value_partial_sum", "n_highwater",
+    "value_partial_sum", "n_highwater", "n_highwater_unadjudicated",
+    "n_recycle_failures", "canonical",
 )
 
 
@@ -76,6 +77,27 @@ def build_summary_line(out: dict) -> str:
             {"metric": out.get("metric"), "value": out.get("value")}
         )
     return line
+
+
+def resolve_full_path(
+    here_dir: str, fname: str, canonical: bool, cold: bool
+) -> str:
+    """Where this run's full map lands (r10 verdict item 1). A
+    non-canonical (box-degraded or errored) warm run must never clobber
+    an existing CANONICAL record — it diverts to ``*_degraded.json``.
+    If no canonical record exists yet (first run, or the incumbent is
+    itself stamped non-canonical / pre-dates the stamp), the degraded
+    map still lands in the primary file: a self-describing degraded
+    record beats no record."""
+    if not canonical and not cold:
+        try:
+            with open(os.path.join(here_dir, fname)) as fh:
+                prev_canonical = bool(json.load(fh).get("canonical"))
+        except Exception:
+            prev_canonical = False
+        if prev_canonical:
+            fname = fname.replace(".json", "_degraded.json")
+    return os.path.join(here_dir, fname)
 
 
 def main() -> None:
@@ -111,13 +133,29 @@ def main() -> None:
         # the fresh context re-warms on two cheap entries so the next
         # family isn't billed the cold start.
         # a failed recycle must degrade to "keep the old session", never
-        # kill a 200-entry run half-way through
+        # kill a 200-entry run half-way through (r10 ADVICE low: the old
+        # code let a second get_spark failure propagate mid-loop)
         nonlocal spark
+        old = spark
         try:
             spark.stop()
-            spark = get_spark("backend-etl-spark-bench")
         except Exception:
-            spark = get_spark("backend-etl-spark-bench")
+            pass
+        last_err: Exception | None = None
+        for attempt in range(3):
+            try:
+                spark = get_spark("backend-etl-spark-bench")
+                break
+            except Exception as exc:  # noqa: BLE001 - JVM restart flake
+                last_err = exc
+                time.sleep(2 * (attempt + 1))
+        else:
+            # total failure: keep the old session object (if its stop()
+            # itself failed it may still be live) and record the event —
+            # the run then degrades to per-entry errors, never an abort
+            spark = old
+            recycle_failures.append(f"{type(last_err).__name__}: {last_err}"[:200])
+            return
         warmup()
 
     # entries between session recycles; 0 disables (the pre-r10
@@ -139,6 +177,7 @@ def main() -> None:
     # aborted the whole run and BENCH_r02.json recorded nothing).
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    recycle_failures: list[str] = []
     for i, name in enumerate(REGISTRY):
         if not cold and recycle_every and i and i % recycle_every == 0:
             recycle()
@@ -254,7 +293,14 @@ def main() -> None:
             for n, hw in list(highwater.items()):
                 try:
                     hw["solo"] = min(run(n), run(n))
-                except Exception:
+                except Exception as exc:  # noqa: BLE001 - retime flake
+                    # an unadjudicated flag must stay visible (r10
+                    # ADVICE low: the bare `continue` silently dropped
+                    # it from the headline count) — record the failure
+                    # and count it separately below
+                    hw["solo_error"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
                     continue
                 adjudicated[n] = hw["solo"]
                 hw["drift"] = (
@@ -293,6 +339,15 @@ def main() -> None:
                     {"records": history[-3:]}, fh, indent=1, sort_keys=True
                 )
 
+    # Canonical-run discipline (r10 verdict item 1): a run with >10%
+    # of entries contention-flagged is box-degraded — its map is still
+    # recorded, but stamped canonical:false, and it must never clobber
+    # an existing CANONICAL record (r10 shipped the box-degraded fourth
+    # run as bench_full.json while the clean map lived only in
+    # bench_history.json). Degraded runs land in *_degraded.json when a
+    # canonical record exists; queries_file always names the file this
+    # run actually wrote.
+    degraded = bool(times) and len(contended) > len(times) // 10
     full = {
         "queries": {
             **times,
@@ -301,20 +356,24 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "variant": "cold-single-thread" if cold else "warm",
+        "canonical": not degraded and not errors,
     }
     if contended:
         full["contended"] = contended
     if highwater:
         full["highwater"] = highwater
+    if recycle_failures:
+        full["recycle_failures"] = recycle_failures
     # non-default SFs write a suffixed file so a smoke run at sf0.001
     # can't clobber the canonical sf0.1 record (the prev-run baseline)
     default_sf = sf == "0.1"
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
+    here_dir = os.path.dirname(os.path.abspath(__file__))
+    fname = (
         "bench_full_cold.json"
         if cold
-        else ("bench_full.json" if default_sf else f"bench_full_sf{sf}.json"),
+        else ("bench_full.json" if default_sf else f"bench_full_sf{sf}.json")
     )
+    full_path = resolve_full_path(here_dir, fname, full["canonical"], cold)
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # early, prefixed, NON-final line carrying the full map — recoverable
@@ -336,16 +395,25 @@ def main() -> None:
         "queries": worst,
         "queries_file": os.path.basename(full_path),
         "sf": float(sf) if sf else None,
+        "canonical": full["canonical"],
     }
     if cold:
         out["variant"] = "cold-single-thread"
     confirmed_hw = {n: hw for n, hw in highwater.items() if hw.get("drift")}
+    unadjudicated_hw = {
+        n: hw for n, hw in highwater.items() if "solo_error" in hw
+    }
     if highwater:
         # compounding-drift flags (3-round high-water), solo-adjudicated:
         # the confirmed count always in the summary; the 5 worst by
         # absolute drift inline; the full map (cleared annotations
-        # included, drift=false) in bench_full.json
+        # included, drift=false) in bench_full.json. A flag whose solo
+        # retime itself errored was never adjudicated — it is counted
+        # separately so a real regression can't vanish behind a
+        # transient retime failure (r10 ADVICE low).
         out["n_highwater"] = len(confirmed_hw)
+        if unadjudicated_hw:
+            out["n_highwater_unadjudicated"] = len(unadjudicated_hw)
         out["highwater"] = dict(
             sorted(
                 confirmed_hw.items(),
@@ -384,6 +452,8 @@ def main() -> None:
         out["partial"] = True
         out["value_partial_sum"] = round(sum(times.values()), 3)
         out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+    if recycle_failures:
+        out["n_recycle_failures"] = len(recycle_failures)
     print(build_summary_line(out))
 
 

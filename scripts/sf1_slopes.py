@@ -94,6 +94,31 @@ def output_bound_annotation(
     return ann
 
 
+def roll_per_row_baseline(
+    prev_costs: dict[str, float],
+    prev_history: dict[str, list[float]],
+    this_run_costs: dict[str, float],
+    clean: bool,
+    force: bool = False,
+) -> tuple[dict[str, float], dict[str, list[float]], bool]:
+    """Per-row-cost baseline roll, gated like bench_history.json's
+    --roll-history (r10 ADVICE medium): only a CLEAN run (no per-row
+    drift, no slope flags) — or an explicit --roll-per-row after a
+    deliberate adjudication — commits this run's costs. A run that
+    confirms drift carries the previous baseline forward unchanged, so
+    re-running cannot launder the drifted cost into the baseline; the
+    history keeps the last 3 committed readings and the drift check
+    judges against their MEDIAN, so one outlier-fast run can't lower
+    the bar and manufacture false flags either. Returns
+    (costs, history, rolled)."""
+    if not (clean or force):
+        return dict(prev_costs), prev_history, False
+    new_history = {k: list(v) for k, v in prev_history.items()}
+    for k, v in this_run_costs.items():
+        new_history[k] = (new_history.get(k, []) + [v])[-3:]
+    return (this_run_costs or dict(prev_costs)), new_history, True
+
+
 def _times(path: str) -> tuple[dict[str, float], dict[str, float]]:
     """(in-run times, solo times from the record's contended
     annotations). Published numbers stay in-run — the solo map is
@@ -129,11 +154,23 @@ def main() -> None:
     # previous record's published per-row costs — the drift baseline.
     # Read the dedicated field first (survives an exempt entry dropping
     # out of worst10); fall back to worst10 for records written before
-    # the field existed.
+    # the field existed. The baseline a run is judged against is the
+    # MEDIAN of the last few CLEAN-run readings (per_row_cost_history),
+    # so a single outlier run — fast or slow — can neither lower the
+    # bar and manufacture false flags nor silently become the new
+    # normal (r10 ADVICE medium: the old code rewrote per_row_costs
+    # unconditionally, so re-running after a confirmed drift adopted
+    # the drifted cost and exited 0).
     prev_per_row: dict[str, float] = {}
+    prev_history: dict[str, list[float]] = {}
     try:
         with open(os.path.join(HERE, "sf1_slopes.json")) as fh:
             prev_rec = json.load(fh)
+        prev_history = {
+            k: [float(x) for x in v]
+            for k, v in prev_rec.get("per_row_cost_history", {}).items()
+            if isinstance(v, list) and v
+        }
         prev_per_row.update(prev_rec.get("per_row_costs", {}))
         if not prev_per_row:
             for w in prev_rec.get("worst10", []):
@@ -142,6 +179,12 @@ def main() -> None:
                     prev_per_row[w["name"]] = ob["per_row_cost_us_sf1"]
     except Exception:
         pass
+    # judge against the history's median where available, else the
+    # last committed value (records written before the history field)
+    drift_baseline: dict[str, float] = dict(prev_per_row)
+    for k, hist in prev_history.items():
+        s = sorted(hist)
+        drift_baseline[k] = s[len(s) // 2]
 
     rows = []
     flagged = []
@@ -162,7 +205,7 @@ def main() -> None:
         sb, st = base_solo.get(name, b), sf1_solo.get(name, t)
         if name in OUTPUT_BOUND_EXEMPT:
             row["output_bound"] = output_bound_annotation(
-                name, b, t, sb, st, prev_per_row.get(name)
+                name, b, t, sb, st, drift_baseline.get(name)
             )
             if "per_row_drift" in row["output_bound"]:
                 per_row_drift.append(
@@ -251,6 +294,24 @@ def main() -> None:
         flagged = still
 
     rows.sort(key=lambda r: r["slope"], reverse=True)
+    # Roll the per-row-cost baseline/history forward ONLY on a clean
+    # run (no drift, no flags) — the same gate bench_history.json's
+    # --roll-history applies (r10 ADVICE medium). A run that CONFIRMS
+    # drift carries the previous baseline forward unchanged, so simply
+    # re-running cannot launder the drifted cost into the baseline;
+    # --roll-per-row forces the roll after a deliberate adjudication.
+    this_run_costs = {
+        r["name"]: r["output_bound"]["per_row_cost_us_sf1"]
+        for r in rows
+        if "output_bound" in r
+    }
+    new_costs, new_history, roll_per_row = roll_per_row_baseline(
+        prev_per_row,
+        prev_history,
+        this_run_costs,
+        clean=not per_row_drift and not flagged,
+        force="--roll-per-row" in argv,
+    )
     out = {
         "n": len(shared),
         "max_slope_bar": max_slope,
@@ -258,12 +319,10 @@ def main() -> None:
         "flagged": flagged,
         "per_row_drift": per_row_drift,
         # durable per-row-cost baseline for the NEXT run's drift check
-        # (not worst10-dependent)
-        "per_row_costs": {
-            r["name"]: r["output_bound"]["per_row_cost_us_sf1"]
-            for r in rows
-            if "output_bound" in r
-        },
+        # (not worst10-dependent); rolled only on clean runs — see above
+        "per_row_costs": new_costs,
+        "per_row_costs_rolled": roll_per_row,
+        "per_row_cost_history": new_history,
         "missing_in_one": missing,
         "worst10": rows[:10],
         "slopes": {r["name"]: r["slope"] for r in rows},
