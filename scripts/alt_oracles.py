@@ -15,9 +15,12 @@ Equivalence to the recursive-CTE oracle is asserted by
 tests/test_alt_oracles.py at sf0.001 and sf0.01, where both oracles
 are feasible and must agree row-for-row.
 
-Used by scripts/driver_sim.py under DRIVER_SIM_ALT_ORACLES=1 (ledger
-rows are marked "oracle": "alt"); the driver's own sf0.01 check never
-sees this path.
+Used by scripts/driver_sim.py under DRIVER_SIM_ALT_ORACLES=1; the
+driver's own sf0.01 check never sees this path. Since r11 the default
+substitution is the SQL-ITERATIVE form below (DuckDB end-to-end, only
+the recursion replaced by a bounded materialized loop; ledger rows
+marked "oracle": "sql_iter"); the union-find stays as an independent
+algorithmic cross-check (UNION_FIND_ORACLES).
 """
 
 from __future__ import annotations
@@ -86,8 +89,96 @@ def dedup_keep_best_in_cluster(con) -> tuple[list[str], list[tuple]]:
     return ["cluster_id", "kept_doc_id", "kept_n_chars", "n_members"], rows
 
 
-#: entry name -> callable(duckdb_con) -> (cols, rows)
+# ---------------------------------------------------------------------------
+# SQL-iterative label propagation (r10 verdict item 5): the recursive
+# CTE's transitive closure is the ONLY piece of the primary oracle that
+# can't spill — so replace just the recursion with a bounded loop of
+# materialized DuckDB temp tables (one min-label propagation round per
+# statement, exactly the engine's own iteration scheme). Every round is
+# ordinary hash-join + group-by, which DuckDB spills fine under a
+# memory cap, so the sf1 ledger rows for the two CC entries attest via
+# DuckDB SQL end-to-end rather than a Python union-find. Equivalence to
+# the recursive-CTE oracle AND to the union-find is pinned at
+# sf0.001/sf0.01 by tests/test_alt_oracles.py.
+# ---------------------------------------------------------------------------
+
+_MAX_LP_ROUNDS = 64  # >> any LSH near-dup cluster diameter observed
+
+
+def _components_sql_iter(con) -> None:
+    """Materialize temp table cc_labels(node, label) = connected
+    components of the LSH candidate graph via min-label propagation,
+    run to fixpoint (verified: a round with zero label changes)."""
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE cc_edges AS WITH {_BANDS_CTE} "
+        "SELECT doc_a AS src, doc_b AS dst FROM cand "
+        "UNION ALL SELECT doc_b, doc_a FROM cand"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE cc_labels AS "
+        "SELECT doc_id AS node, doc_id AS label FROM documents"
+    )
+    for _ in range(_MAX_LP_ROUNDS):
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE cc_next AS "
+            "SELECT node, min(label) AS label FROM ("
+            "  SELECT node, label FROM cc_labels"
+            "  UNION ALL"
+            "  SELECT e.dst AS node, l.label"
+            "  FROM cc_labels l JOIN cc_edges e ON e.src = l.node"
+            ") GROUP BY node"
+        )
+        changed = con.sql(
+            "SELECT count(*) FROM cc_next n JOIN cc_labels o "
+            "ON o.node = n.node WHERE o.label <> n.label"
+        ).fetchone()[0]
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE cc_labels AS SELECT * FROM cc_next"
+        )
+        if changed == 0:
+            return
+    raise RuntimeError(
+        f"label propagation did not converge in {_MAX_LP_ROUNDS} rounds"
+    )
+
+
+def dedup_cluster_components_sql_iter(con) -> tuple[list[str], list[tuple]]:
+    _components_sql_iter(con)
+    rel = con.sql("SELECT node AS doc_id, label AS cluster_id FROM cc_labels")
+    return list(rel.columns), rel.fetchall()
+
+
+def dedup_keep_best_in_cluster_sql_iter(con) -> tuple[list[str], list[tuple]]:
+    _components_sql_iter(con)
+    rel = con.sql(
+        """
+        WITH m AS (
+          SELECT l.label AS cluster_id, d.doc_id, d.n_chars
+          FROM cc_labels l JOIN documents d ON d.doc_id = l.node),
+        r AS (
+          SELECT m.*,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                 row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM m)
+        SELECT cluster_id, doc_id AS kept_doc_id,
+               n_chars AS kept_n_chars, n_members
+        FROM r WHERE rn = 1
+        """
+    )
+    return list(rel.columns), rel.fetchall()
+
+
+#: entry name -> callable(duckdb_con) -> (cols, rows). The DEFAULT
+#: substitution is the SQL-iterative form (DuckDB end-to-end); the
+#: union-find versions remain as an independent cross-check.
 ALT_ORACLES = {
+    "dedup_cluster_components": dedup_cluster_components_sql_iter,
+    "dedup_keep_best_in_cluster": dedup_keep_best_in_cluster_sql_iter,
+}
+
+UNION_FIND_ORACLES = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_keep_best_in_cluster": dedup_keep_best_in_cluster,
 }

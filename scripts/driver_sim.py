@@ -125,11 +125,14 @@ if _ledger and os.environ.get("DRIVER_SIM_RESUME") and os.path.exists(_ledger):
         qs = {n: fn for n, fn in qs.items() if n not in _skip}
 # DRIVER_SIM_ALT_ORACLES=1: for the two entries whose SQL oracle is a
 # recursive CTE (the one DuckDB operator that cannot spill — OOMs at
-# sf1, BASELINE §s), substitute the union-find alternate oracle from
-# scripts/alt_oracles.py. Equivalence to the SQL oracle is test-pinned
-# at the SFs where both run (tests/test_alt_oracles.py). Default off:
-# the driver's own check never sees this path. Ledger rows taking the
-# alternate path carry "oracle": "alt".
+# sf1, BASELINE §s), substitute the SQL-ITERATIVE oracle from
+# scripts/alt_oracles.py — DuckDB end-to-end, with only the recursion
+# replaced by a bounded loop of materialized label-propagation rounds
+# (each round spills fine). Equivalence to the recursive-CTE oracle AND
+# to the independent union-find is test-pinned at the SFs where all
+# three run (tests/test_alt_oracles.py). Default off: the driver's own
+# check never sees this path. Ledger rows taking the substituted path
+# carry "oracle": "sql_iter".
 _alt = {}
 if os.environ.get("DRIVER_SIM_ALT_ORACLES"):
     from alt_oracles import ALT_ORACLES as _alt  # noqa: E402 (scripts/)
@@ -174,11 +177,11 @@ for name, fn in qs.items():
                  "detail": f"{type(exc).__name__}: {str(exc)[:300]}"})
         continue
     secs = round(time.perf_counter() - t0, 2)
-    extra = {"oracle": "alt"} if alt_used else {}
+    extra = {"oracle": "sql_iter"} if alt_used else {}
     if schema_ok and count_ok and vals_ok:
         ok += 1
         print(f"  + {name}: MATCH ({len(act)} rows)"
-              + (" [alt oracle]" if alt_used else ""))
+              + (" [sql-iter oracle]" if alt_used else ""))
         _record({"name": name, "sf_dir": SF_DIR, "status": "match",
                  "rows": len(act), "secs": secs, **extra})
     else:
