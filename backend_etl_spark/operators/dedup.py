@@ -160,13 +160,15 @@ def signature_bands(
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = 1,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Melt MinHash signatures into the (id, band_id, band_value) bucket
     relation — the LSH index layout both the self-join (batch dedup) and
     the batch-vs-snapshot probe join on. ``rows_per_band`` r concatenates
     r signature values per band (b = num_hashes/r bands): the classic
     (b, r) S-curve — larger r sharpens precision, more bands raise
-    recall."""
+    recall. ``carry`` names extra columns to ride the melt (e.g. the
+    doc's shingle set for a band-colocated intersect — r11)."""
     assert num_hashes % rows_per_band == 0, "num_hashes must divide into bands"
     n_bands = num_hashes // rows_per_band
     band_vals = [
@@ -177,11 +179,47 @@ def signature_bands(
     ]
     return signatures.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.stack(
             F.lit(n_bands),
             *[x for b, v in enumerate(band_vals) for x in (F.lit(str(b)), v)],
         ).alias("band_id", "band_value"),
     )
+
+
+def _band_value(b: int, rows_per_band: int) -> F.Column:
+    """Band b's bucket value: the concat of its rows_per_band signature
+    hashes — identical construction to signature_bands' melt."""
+    return F.concat_ws(
+        "|", *[F.col(f"mh{b * rows_per_band + k}") for k in range(rows_per_band)]
+    )
+
+
+def _first_shared_band(n_bands: int) -> F.Column:
+    """True iff the band this collision row matched on (``band_id``) is
+    the LOWEST-numbered band the two docs share — decided row-locally
+    from the carried per-doc band values (non-null md5 strings, so
+    plain != is safe). Keeping only these rows makes the band self-join
+    emit each candidate pair exactly once, with no pair-keyed dedup
+    shuffle and (for jaccard) no redundant per-band intersects."""
+    pred = None
+    for i in range(n_bands):
+        cond = F.col("a.band_id") == F.lit(str(i))
+        for j in range(i):
+            cond = cond & (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
+        pred = cond if pred is None else (pred | cond)
+    return pred
+
+
+def _shared_band_count(n_bands: int) -> F.Column:
+    """Number of bands the two docs share — a row-local sum of
+    band-value equalities over the carried values; replaces the old
+    count(*)-per-pair aggregate."""
+    total = None
+    for j in range(n_bands):
+        t = (F.col(f"a.bv{j}") == F.col(f"b.bv{j}")).cast("bigint")
+        total = t if total is None else (total + t)
+    return total
 
 
 def lsh_candidate_pairs(
@@ -198,26 +236,40 @@ def lsh_candidate_pairs(
     pair fan-out. BASELINE.md records the measured (b, r) cost/recall
     curve; parity default (r=1) is the permissive end.
     """
-    bands = signature_bands(signatures, id_col, num_hashes, rows_per_band)
+    n_bands = num_hashes // rows_per_band
+    # every melted row carries ALL of its doc's band values, so a
+    # collision row can decide IN-STAGE (r11) whether the band it
+    # matched on is the pair's FIRST shared band — each pair then
+    # survives exactly once, and shared_bands is a row-local sum of
+    # band-value equalities. This deletes the pair-keyed
+    # groupBy(doc_a, doc_b) shuffle entirely: at sf10 that shuffle is
+    # ~4x|pairs| rows (~1.4B), the dominant cost of the old shape.
+    sig2 = signatures.select(
+        "*", *[_band_value(b, rows_per_band).alias(f"bv{b}") for b in range(n_bands)]
+    )
+    bands = signature_bands(
+        sig2, id_col, num_hashes, rows_per_band,
+        carry=tuple(f"bv{b}" for b in range(n_bands)),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    joined = (
         # merge hint: BOTH sides are the corpus-sized banded-signature
         # relation (n_docs × bands rows) — the planner's estimate of the
         # derived side stays under the broadcast threshold long after
         # the relation stops fitting an executor. A self-join of two
         # growing sides must shuffle.
         a.hint("merge").join(
-            b,
+            b.hint("merge"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_value") == F.col("b.band_value"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+    return joined.where(_first_shared_band(n_bands)).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        _shared_band_count(n_bands).alias("shared_bands"),
     )
 
 
@@ -312,6 +364,23 @@ def jaccard_pairs(
     strings, so intersection counts are bit-identical to the oracle's
     equal-shingle join — no hash step, no collision caveat.
 
+    BAND-COLOCATED since r11 (default path): the r8 shape joined the
+    candidate-pair relation against the per-doc set relation twice, so
+    the second join re-shuffled |pairs| rows each CARRYING a shingle
+    array — at sf10 (~350M pairs × ~2.5 KB set) that is a ~1 TB wide
+    shuffle, disk-fatal on any realistic spill budget. Instead the
+    shingle set now rides the band melt (``signature_bands(carry=...)``)
+    and the intersect computes INSIDE the band self-join stage, where
+    both docs' sets are already colocated by the band bucket; the
+    first-shared-band gate (``_first_shared_band``) keeps exactly one
+    collision row per pair, so the intersect runs once per pair and
+    nothing pair-keyed ever shuffles — narrow result rows stream
+    straight to the consumer. Array bytes shuffled: |docs| × bands ×
+    set width (corpus-linear) instead of |pairs| × set width
+    (quadratic-output-bound). The signature aggregate and the set
+    aggregate also fuse into ONE groupBy (min() folds + collect_set in
+    the same shuffle).
+
     Output contract: only pairs with ``n_common >= 1`` are emitted —
     the same rows an equal-shingle join produces. LSH candidates share
     the argmin shingle w.h.p., but a minhash collision or an externally
@@ -319,43 +388,84 @@ def jaccard_pairs(
     are filtered (one codegen'd predicate) rather than emitted as
     jaccard=0.0 rows the oracle would never produce.
 
-    Memory shape: each doc's distinct-shingle array is replicated once
-    per candidate pair, so peak per-row bytes ≈ max doc shingle count ×
-    shingle width, and a single row appears at most (max LSH bucket
-    size − 1) times per band. With the default 9-char shingles and
-    crawl-scale docs capped upstream (documents.parquet bodies are
-    bounded), a 1e5-shingle doc in a 1e3-doc bucket is ~1e8 array
-    elements spread across that bucket's pair partitions — spill-safe
-    under sort-merge join; unbounded doc bodies should be truncated or
-    length-capped before this operator.
+    ``candidates`` (externally supplied pairs) keeps the r8 join shape
+    — an arbitrary pair frame has no band to colocate on; callers at
+    scale should prefer the default path.
     """
-    if candidates is None:
-        sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
-        candidates = lsh_candidate_pairs(sigs, id_col, num_hashes)
-    sh = doc_shingles(df, id_col, text_col, n)
-    # doc_shingles is distinct per doc: collect_list IS the shingle set
-    sets_ = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh_set"))
-    set_a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
-    set_b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
-    paired = (
-        # merge hint: the candidate-pair side GROWS with near-dup group
-        # sizes (Σ bucket² of the LSH buckets) while the planner's
-        # through-join estimate of it stays tiny — left to itself Spark
-        # auto-broadcasts it and a 1 GB driver dies at sf1 (3.8M pairs).
-        # The set side is a keyed aggregate over the corpus (also
-        # growing): every join here must shuffle, none may broadcast.
-        candidates.select("doc_a", "doc_b")
-        .hint("merge")
-        .join(set_a.hint("merge"), "doc_a")
-        .join(set_b.hint("merge"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
-            F.size("set_a").alias("n_a"),
-            F.size("set_b").alias("n_b"),
+    if candidates is not None:
+        sh = doc_shingles(df, id_col, text_col, n)
+        sets_ = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh_set"))
+        set_a = sets_.select(
+            F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a")
         )
-    )
+        set_b = sets_.select(
+            F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b")
+        )
+        paired = (
+            # merge hint: the candidate-pair side GROWS with near-dup
+            # group sizes while the planner's through-join estimate of
+            # it stays tiny — left to itself Spark auto-broadcasts it
+            # and a 1 GB driver dies at sf1 (3.8M pairs). The set side
+            # is a keyed aggregate over the corpus (also growing):
+            # every join here must shuffle, none may broadcast.
+            candidates.select("doc_a", "doc_b")
+            .hint("merge")
+            .join(set_a.hint("merge"), "doc_a")
+            .join(set_b.hint("merge"), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+                F.size("set_a").alias("n_a"),
+                F.size("set_b").alias("n_b"),
+            )
+        )
+    else:
+        # one fused aggregate: minhash signature AND distinct-shingle
+        # set from the same non-distinct shingle relation, one shuffle
+        sh = doc_shingles(df, id_col, text_col, n, distinct=False)
+        per_doc = sh.groupBy(id_col).agg(
+            *[
+                F.min(
+                    F.md5(F.concat_ws("#", F.lit(str(i)), F.col("shingle")))
+                ).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ],
+            F.collect_set("shingle").alias("sh_set"),
+        )
+        n_bands = num_hashes  # rows_per_band=1 here, as in the old path
+        sig2 = per_doc.select(
+            "*", *[_band_value(b, 1).alias(f"bv{b}") for b in range(n_bands)]
+        )
+        bands = signature_bands(
+            sig2, id_col, num_hashes,
+            carry=tuple(f"bv{b}" for b in range(n_bands)) + ("sh_set",),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        paired = (
+            # both sides are the corpus-sized band relation (keyed
+            # aggregate → frozen tiny planner estimate): must merge-join
+            a.hint("merge")
+            .join(
+                b.hint("merge"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_value") == F.col("b.band_value"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            # first-shared-band gate: each pair survives exactly once,
+            # so the intersect below runs ONCE per pair (not per shared
+            # band) and no pair-keyed dedup shuffle exists at all
+            .where(_first_shared_band(n_bands))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.size(F.array_intersect("a.sh_set", "b.sh_set")).alias(
+                    "n_common"
+                ),
+                F.size("a.sh_set").alias("n_a"),
+                F.size("b.sh_set").alias("n_b"),
+            )
+        )
     return paired.filter(F.col("n_common") >= 1).select(
         "doc_a",
         "doc_b",
