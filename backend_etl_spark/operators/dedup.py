@@ -830,6 +830,12 @@ def intra_cluster_cosine_drops(
     )
 
 
+#: row-block height for the intra-bucket cosine pair matrix — peak
+#: per-worker scratch is ~3 arrays of (block x bucket) doubles; 2048
+#: keeps that ~1 GB even at a 20k-row (sf10) bucket
+_COS_BLOCK = 2048
+
+
 def intra_bucket_cosine_pairs(
     e: DataFrame,
     threshold: float,
@@ -844,10 +850,19 @@ def intra_bucket_cosine_pairs(
     Same exact-fold numpy numerics (sequential accumulation over dims,
     half-away-from-zero 6-dp rounding) as the SemDeDup kernel, so the
     emitted values are bit-identical to the zip_with/aggregate fold and
-    the oracle's list_dot_product. Per-bucket memory is O(bucket²)
-    doubles — inherent to the entry's all-pairs-within-bucket contract;
-    when buckets grow with the corpus, the scalable operator is the
-    adaptive-k SemDeDup path, not a bigger pair matrix.
+    the oracle's list_dot_product.
+
+    ROW-BLOCKED (r11): the pair matrix is computed in row blocks of
+    ``_COS_BLOCK`` against the full bucket, so per-worker peak memory is
+    O(block × bucket) doubles (~1 GB at a 20k-row sf10 bucket) instead
+    of O(bucket²) (~13 GB × concurrent workers — OOM at sf10). Blocking
+    partitions the ROWS only; each cell still accumulates sequentially
+    over dims in the same order, so every emitted value is identical to
+    the unblocked kernel's. Compute per pair is unchanged — the
+    quadratic term is the entry's output contract (all qualifying
+    within-bucket pairs); when buckets grow with the corpus, the
+    scalable operator is the adaptive-k SemDeDup path, not a bigger
+    pair matrix.
     """
     import numpy as np
     import pandas as pd
@@ -861,21 +876,38 @@ def intra_bucket_cosine_pairs(
         if n < 2:
             return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0],
                                  "cosine_sim": np.zeros(0)})
-        D = np.zeros((n, n))
         nrm2 = np.zeros(n)
         for j in range(dim):
-            D += X[:, j, None] * X[None, :, j]
             nrm2 += X[:, j] * X[:, j]
         nrm = np.sqrt(nrm2)
-        cos = D / (nrm[:, None] * nrm[None, :])
-        scaled = cos * 1e6
-        cos = (
-            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
-            / 1e6
-        )
-        ai, bi = np.nonzero(np.triu(cos >= threshold, k=1))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, _COS_BLOCK):
+            e_ = min(s + _COS_BLOCK, n)
+            D = np.zeros((e_ - s, n))
+            for j in range(dim):
+                D += X[s:e_, j, None] * X[None, :, j]
+            cos = D / (nrm[s:e_, None] * nrm[None, :])
+            scaled = cos * 1e6
+            cos = (
+                np.where(
+                    scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+                )
+                / 1e6
+            )
+            keep = cos >= threshold
+            # strict upper triangle in GLOBAL indices: col > row+s
+            cols = np.arange(n)[None, :]
+            rows = np.arange(s, e_)[:, None]
+            ai, bi = np.nonzero(keep & (cols > rows))
+            out_a.append(ids[ai + s])
+            out_b.append(ids[bi])
+            out_c.append(cos[ai, bi])
         return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bi], "cosine_sim": cos[ai, bi]}
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_c),
+            }
         )
 
     return (

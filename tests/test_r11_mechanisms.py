@@ -222,3 +222,36 @@ def test_median_baseline_resists_one_fast_outlier():
     # whereas vs the min it would read as 2.75x "drift"
     assert 110.0 <= 1.3 * median
     assert 110.0 > 1.3 * min(hist)
+
+
+# ------------------------------------------------- blocked cosine kernel
+
+
+def test_blocked_cosine_kernel_matches_unblocked(spark, monkeypatch):
+    """Row-blocking the intra-bucket pair matrix must not change ONE
+    emitted value or pair: force a tiny block so a 40-row bucket spans
+    many blocks and compare against the single-block result."""
+    import numpy as np
+
+    from backend_etl_spark.operators import dedup as D
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), int(i % 2), [float(x) for x in rng.normal(0, 1, 8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+
+    monkeypatch.setattr(D, "_COS_BLOCK", 7)
+    small = sorted(
+        tuple(r)
+        for r in D.intra_bucket_cosine_pairs(df, threshold=-1.0).collect()
+    )
+    monkeypatch.setattr(D, "_COS_BLOCK", 4096)
+    full = sorted(
+        tuple(r)
+        for r in D.intra_bucket_cosine_pairs(df, threshold=-1.0).collect()
+    )
+    assert small == full and len(full) == 2 * (20 * 19 // 2)
