@@ -881,6 +881,33 @@ def agg_quantile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("group_quantiles_production")  # no SQL oracle BY DESIGN: the
+# Greenwald–Khanna sketch's returned values are engine-specific data
+# points (rank-bounded, not value-determined), so no portable SQL
+# reproduces them; the contract is attested instead by the rank-bound
+# tests (tests/test_quantiles_production.py at sf0.1) and the sf1
+# rank-error histogram (scripts/attest_quantiles_sf1.py → BASELINE §x).
+# Registered so the PRODUCTION quantile path's cost is a recorded bench
+# fact every round, not a design claim (r10 verdict item 4).
+def group_quantiles_production_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB quantile path (operators/quantiles.
+    group_quantiles_production): one mergeable GK sketch per group for
+    p25/p50/p90/p99 over orders.o_totalprice — same output shape as
+    agg_quantile_family, partial-aggregatable state instead of a
+    buffered per-group sort."""
+    tune(spark)
+    from backend_etl_spark.operators.quantiles import (
+        group_quantiles_production,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return group_quantiles_production(
+        o, ["o_orderstatus"], "o_totalprice", [0.25, 0.50, 0.90, 0.99]
+    )
+
+
 @register(
     "q18_large_volume_customers",
     oracle="""
