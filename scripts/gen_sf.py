@@ -53,7 +53,15 @@ def _distinct(table: str, col: str) -> list:
 
 def _write(outdir: str, name: str, table: pa.Table) -> None:
     path = f"{outdir}/{name}.parquet"
-    pq.write_table(table, path, compression="snappy")
+    # Row-group sizing matters: Spark parallelizes a parquet scan at ROW
+    # GROUP granularity, and pyarrow's default (1M rows/group) packs a
+    # 500k-row sf10 documents table into ONE group — a serial scan that
+    # made every map-heavy docs entry look super-linear (text_quality
+    # 1.6→87 s across the sf1→sf10 decade; BASELINE §x). ≥64 groups per
+    # table keeps a 32-thread local scan fully parallel — the same
+    # reason a real 100 TB corpus is thousands of files, never one.
+    rg = max(8192, min(1_048_576, table.num_rows // 64 or 1))
+    pq.write_table(table, path, compression="snappy", row_group_size=rg)
     print(f"  {name}: {table.num_rows} rows -> {path}")
 
 
