@@ -2190,29 +2190,98 @@ _REG2["corpus_pipeline_funnel"].oracle = _FUNNEL_ORACLE.format(
 #: cluster stays ~_SEM_TARGET vectors: intra-cluster candidate pairs
 #: are then O(n · _SEM_TARGET), linear in the corpus, instead of the
 #: O(n²/k) a FIXED k degrades to (measured: slope 1.97/decade at
-#: sf0.1→sf1 before this change). The assign/fit stage is n·k flops of
-#: map-only JVM codegen — negligible through sf10; past that the
-#: standard answer is a two-level (hierarchical) coarse quantizer, the
-#: same escalation FAISS uses for billion-vector IVF.
+#: sf0.1→sf1 before the r6 change). But a FLAT fit with k ∝ n makes the
+#: assign stage n·k = n²/_SEM_TARGET — the r11 sf1→sf10 sweep measured
+#: it at slope 1.42/decade (4.2 → 110.7 s) — so the fit/assign is
+#: two-level (r11): k₁ ≈ √k coarse cells, then an independent fine fit
+#: per cell sized to keep fine clusters ~_SEM_TARGET vectors. A row
+#: compares against k₁ + k/k₁ ≈ 2√k centroids instead of k — the same
+#: escalation FAISS uses for billion-vector IVF — and the pair stage
+#: contract is unchanged (clusters of ~_SEM_TARGET).
 _SEM_TARGET = 100
-_SEM_K_EXPR = f"greatest({_KM_K}, (SELECT count(*) FROM e) // {_SEM_TARGET})"
+#: coarse cell count: max(8, floor(sqrt(k_total))), k_total = max(8, n//100).
+#: sqrt on DOUBLE in both engines (Python math.sqrt == DuckDB sqrt).
+_SEM_K1_EXPR = (
+    f"greatest({_KM_K}, CAST(floor(sqrt(CAST(greatest({_KM_K}, "
+    f"(SELECT count(*) FROM e) // {_SEM_TARGET}) AS DOUBLE))) AS INT))"
+)
+
+
+def _sem_fine_cte(iters: int = _KM_ITERS) -> str:
+    """Unrolled per-cell fine Lloyd's as DuckDB CTEs, appended after a
+    coarse ``{_kmeans_cte(k_expr=_SEM_K1_EXPR)}`` whose final assignment
+    is ``{_KM_FINAL}``. Mirrors clustering.kmeans_fit_grouped +
+    assign_clusters_multi exactly: per-cell rank-strided seeds
+    (``rank_mod`` — the 0-based rank within the cell, by vec_id, strided
+    by max(cn // k_f, 1), first k_f), per-(cell,fid) 6-dp-rounded
+    averages, rounded distances, tie-break on fid. Final cluster id is
+    the composite cell·1e6 + fid."""
+    sql = f""",
+    cellpts AS (SELECT vec_id, v, cluster AS cell FROM {_KM_FINAL}),
+    kf AS (
+      SELECT cell, count(*) AS cn,
+             greatest(count(*) // {_SEM_TARGET}, 1) AS kfk,
+             greatest(count(*) // greatest(count(*) // {_SEM_TARGET}, 1), 1)
+               AS stride
+      FROM cellpts GROUP BY cell),
+    f0 AS (
+      SELECT cell, CAST(rn - 1 AS INT) AS fid, v AS cv
+      FROM (SELECT cell, v, kfk,
+                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+            FROM (SELECT p.cell, p.vec_id, p.v, k.kfk,
+                         row_number() OVER (PARTITION BY p.cell
+                                            ORDER BY p.vec_id) - 1 AS rk,
+                         k.stride
+                  FROM cellpts p JOIN kf k USING (cell))
+            WHERE rk % stride = 0)
+      WHERE rn <= kfk)"""
+    for i in range(iters):
+        sql += f""",
+    fd{i} AS (
+      SELECT p.vec_id, p.v, p.cell, f.fid,
+             round(list_reduce(list_transform(range(len(p.v)),
+                   j -> (p.v[j+1] - f.cv[j+1]) * (p.v[j+1] - f.cv[j+1])),
+                   (x, y) -> x + y), 6) AS dd
+      FROM cellpts p JOIN f{i} f USING (cell)),
+    fa{i} AS (
+      SELECT vec_id, v, cell, fid
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dd, fid) AS rn
+            FROM fd{i})
+      WHERE rn = 1)"""
+        if i < iters - 1:
+            sql += f""",
+    f{i + 1} AS (
+      SELECT cell, fid, array_agg(cv_d ORDER BY dim) AS cv
+      FROM (SELECT cell, fid, dim, round(avg(val), 6) AS cv_d
+            FROM (SELECT cell, fid, unnest(v) AS val,
+                         generate_subscripts(v, 1) AS dim
+                  FROM fa{i})
+            GROUP BY cell, fid, dim)
+      GROUP BY cell, fid)"""
+    sql += f""",
+    semfinal AS (
+      SELECT vec_id, v,
+             CAST(cell AS BIGINT) * 1000000 + fid AS cluster
+      FROM fa{iters - 1})"""
+    return sql
 
 
 @register(
     "dedup_semantic_semdedup",
     oracle=f"""
-    WITH {_kmeans_cte(k_expr=_SEM_K_EXPR)},
-    e2 AS (SELECT vec_id, v, cluster FROM {_KM_FINAL}),
+    WITH {_kmeans_cte(k_expr=_SEM_K1_EXPR)}{_sem_fine_cte()},
     drop AS (
       SELECT DISTINCT y.vec_id AS vb
-      FROM e2 x JOIN e2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      FROM semfinal x JOIN semfinal y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
       WHERE round(list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3)
     SELECT vec_id,
            CAST(cluster AS BIGINT) AS cluster,
            vec_id NOT IN (SELECT vb FROM drop) AS kept
-    FROM e2
+    FROM semfinal
     """,
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2223,11 +2292,22 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup feasible at 100 TB: candidate pairs are O(Σ cluster²), never
     corpus². A vector is dropped when it matches a lower-id
     cluster-mate at cosine ≥ 0.3; the verdict column per vector keeps
-    the relation total (one row per embedding). k scales with corpus
-    size (see _SEM_TARGET) so the pair stage stays linear — the paper's
-    own discipline (50k clusters for LAION), re-derived identically in
-    the oracle via a data-dependent seed count."""
+    the relation total (one row per embedding).
+
+    Cluster count scales with corpus size (k_total = n / _SEM_TARGET,
+    the paper's own discipline — 50k clusters for LAION) so the pair
+    stage stays linear; the FIT/ASSIGN is two-level (r11): a coarse
+    k₁ ≈ √k_total fit shards the corpus into cells, then every cell
+    trains its own fine quantizer in lock-step jobs
+    (kmeans_fit_grouped) and each row is assigned against ONLY its
+    cell's fine centroids (assign_clusters_multi). A flat k ∝ n fit is
+    n·k = n²/100 flops and measured slope 1.42/decade at sf1→sf10
+    (4.2 → 110.7 s); two-level is n·2√k — the FAISS IVF escalation.
+    The oracle re-derives both levels in SQL (coarse _kmeans_cte +
+    _sem_fine_cte) and lands on identical composite cluster ids."""
     tune(spark)
+    import math
+
     from backend_etl_spark.operators import similarity
 
     # flop-dense stages (k-way argmin, intra-cluster cosines) are sized
@@ -2237,13 +2317,34 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thousands of splits and this repartition is a no-op-sized tax.
     par = spark.sparkContext.defaultParallelism
     emb = load_table(spark, sf_dir, "embeddings").repartition(par)
-    k = max(_KM_K, emb.count() // _SEM_TARGET)
-    cents = clustering.kmeans_fit(emb, k=k, iters=_KM_ITERS)
-    e2 = clustering.assign_clusters(emb, cents).select(
-        "vec_id", "cluster", similarity.to_double("embedding").alias("v")
+    kt = max(_KM_K, emb.count() // _SEM_TARGET)
+    k1 = max(_KM_K, int(math.floor(math.sqrt(float(kt)))))
+    coarse = clustering.kmeans_fit(emb, k=k1, iters=_KM_ITERS)
+    # the cell assignment feeds ~2·iters downstream jobs — materialize
+    # once (at 100 TB: a persisted table, the corpus_bands discipline)
+    cells = (
+        clustering.assign_clusters(emb, coarse)
+        .select("vec_id", "embedding", F.col("cluster").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    fine = clustering.kmeans_fit_grouped(
+        cells,
+        "cell",
+        lambda cn: max(1, cn // _SEM_TARGET),
+        iters=_KM_ITERS,
+    )
+    e2 = clustering.assign_clusters_multi(
+        cells, fine, tag_col="cell", out_col="fid"
+    ).select(
+        "vec_id",
+        (
+            F.col("cell").cast("bigint") * F.lit(1_000_000)
+            + F.col("fid").cast("bigint")
+        ).alias("cluster"),
+        similarity.to_double("embedding").alias("v"),
     )
     # intra-cluster pair matrix as ONE applyInPandas pass per cluster
-    # (exact-fold numpy — bit-identical to the oracle's per-pair
+    # (exact-fold numpy — attested equal to the oracle's per-pair
     # list_dot_product; see operators/dedup.intra_cluster_cosine_drops)
     drop = dedup.intra_cluster_cosine_drops(e2, threshold=0.3).withColumn(
         "__dropped", F.lit(True)

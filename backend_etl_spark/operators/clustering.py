@@ -206,6 +206,37 @@ def assign_clusters(
     return df.withColumn("cluster", best["cid"]).withColumn("dist2", best["d"])
 
 
+def assign_clusters_multi(
+    df: DataFrame,
+    cents_by_tag: dict[int, dict[int, list[float]]],
+    tag_col: str,
+    emb_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Per-group nearest-centroid assignment in ONE map-only pass: each
+    row's candidates are ONLY its group's centroids (the second level of
+    a two-level assignment — a row never sees another cell's centroids,
+    so a k-total fit costs n·(k/k₁) comparisons here instead of n·k).
+    Per-tag path follows assign_clusters' NP_ASSIGN_MIN_K rule; adds
+    ``out_col`` (the group-local centroid id, int)."""
+    tags = sorted(cents_by_tag)
+    lit_tags = [t for t in tags if len(cents_by_tag[t]) < NP_ASSIGN_MIN_K]
+    np_tags = [t for t in tags if len(cents_by_tag[t]) >= NP_ASSIGN_MIN_K]
+    tag = F.col(tag_col).cast("int")
+    cid = None
+    for t in lit_tags:
+        arg = nearest_centroid(F.col(emb_col), cents_by_tag[t])["cid"]
+        cid = (
+            F.when(tag == t, arg) if cid is None else cid.when(tag == t, arg)
+        )
+    if np_tags:
+        kern = _assign_np_udf_multi({t: cents_by_tag[t] for t in np_tags})(
+            tag, _as_double(F.col(emb_col))
+        )["cid"]
+        cid = kern if cid is None else cid.otherwise(kern)
+    return df.withColumn(out_col, cid)
+
+
 def seed_centroids(
     df: DataFrame, k: int, id_col: str = "vec_id", emb_col: str = "embedding"
 ) -> dict[int, list[float]]:
@@ -352,8 +383,6 @@ def kmeans_fit_multi(
     construction; a caller that samples expensively should persist the
     sample itself before fitting.
     """
-    from pyspark.sql.window import Window
-
     tags = sorted(dfs)
     ks = {t: (k[t] if isinstance(k, dict) else k) for t in tags}
     its = {t: (iters[t] if isinstance(iters, dict) else iters) for t in tags}
@@ -391,6 +420,71 @@ def kmeans_fit_multi(
             f"kmeans_fit_multi: empty input relation(s) for tag(s) {empty} "
             "— every tagged DataFrame must contribute at least one vector"
         )
+    cents = _fit_lockstep(tagged, ks, its, counts)
+
+    for t in tags:
+        if keys[t] is not None:
+            _FIT_CACHE[keys[t]] = cents[t]
+    return {t: {cid: list(v) for cid, v in cents[t].items()} for t in tags}
+
+
+def kmeans_fit_grouped(
+    df: DataFrame,
+    tag_col: str,
+    k_for_count,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict[int, dict[int, list[float]]]:
+    """Lock-step Lloyd's over the GROUPS of one pre-tagged relation —
+    the second level of a two-level (coarse → per-cell fine) fit. Same
+    phase jobs as kmeans_fit_multi, but the input arrives as a single
+    frame with a group column instead of a dict of relations, so a
+    k₁-cell corpus is scanned ONCE per phase rather than once per cell.
+
+    ``k_for_count`` maps a cell's row count to its fine k (e.g.
+    ``lambda n: max(1, n // 100)`` keeps fine clusters ~100 vectors for
+    a SemDeDup pair stage). Seeds/updates per group are identical to an
+    individual kmeans_fit over that group's rows. Not memoized — the
+    tag column makes the plan key ambiguous; callers cache results
+    themselves if reused."""
+    tagged = df.select(
+        F.col(tag_col).cast("int").alias("_tag"),
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(emb_col)).alias("_v"),
+    )
+    counts = {
+        r["_tag"]: r["n"]
+        for r in tagged.groupBy("_tag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        raise ValueError("kmeans_fit_grouped: empty input relation")
+    ks = {t: int(k_for_count(n)) for t, n in counts.items()}
+    its = {t: iters for t in counts}
+    return _fit_lockstep(tagged, ks, its, counts, seed_mode="rank_mod")
+
+
+def _fit_lockstep(
+    tagged: DataFrame,
+    ks: dict[int, int],
+    its: dict[int, int],
+    counts: dict[int, int],
+    seed_mode: str = "id_mod",
+) -> dict[int, dict[int, list[float]]]:
+    """Shared lock-step Lloyd's core over a ``(_tag, _id, _v)`` frame:
+    per-tag strided seeds, then one assignment+update job per phase for
+    all still-active tags (see kmeans_fit_multi's contract — per-tag
+    numerics identical to an individual kmeans_fit).
+
+    ``seed_mode``: ``"id_mod"`` strides on the GLOBAL id (seed_centroids'
+    rule — correct when each tag holds a full contiguous-id relation,
+    the PQ-codebook case); ``"rank_mod"`` strides on the row's RANK
+    within its tag — required when tags partition the rows (a cell whose
+    members happen to share no multiple of the stride would otherwise
+    seed EMPTY), and identical to id_mod on contiguous 0-based ids."""
+    from pyspark.sql.window import Window
+
+    tags = sorted(ks)
     stride = {t: max(counts[t] // ks[t], 1) for t in tags}
     stride_expr = F.lit(None)
     for t in tags:
@@ -409,9 +503,14 @@ def kmeans_fit_multi(
             else k_expr.when(F.col("_tag") == t, F.lit(ks[t]))
         )
     w = Window.partitionBy("_tag").orderBy("_id")
+    if seed_mode == "rank_mod":
+        base = tagged.withColumn(
+            "_rk", F.row_number().over(w) - 1
+        ).where((F.col("_rk") % stride_expr) == 0)
+    else:
+        base = tagged.where((F.col("_id") % stride_expr) == 0)
     seed_rows = (
-        tagged.where((F.col("_id") % stride_expr) == 0)
-        .withColumn("_rn", F.row_number().over(w))
+        base.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k_expr)
         .select("_tag", "_rn", "_v")
         .collect()
@@ -466,10 +565,7 @@ def kmeans_fit_multi(
             new_cents[t][cid] = [dims[d] for d in range(dim)]
         cents = new_cents
 
-    for t in tags:
-        if keys[t] is not None:
-            _FIT_CACHE[keys[t]] = cents[t]
-    return {t: {cid: list(v) for cid, v in cents[t].items()} for t in tags}
+    return cents
 
 
 def multi_encode_np(

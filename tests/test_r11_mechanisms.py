@@ -255,3 +255,70 @@ def test_blocked_cosine_kernel_matches_unblocked(spark, monkeypatch):
         for r in D.intra_bucket_cosine_pairs(df, threshold=-1.0).collect()
     )
     assert small == full and len(full) == 2 * (20 * 19 // 2)
+
+
+# ------------------------------------------------- two-level semdedup fit
+
+
+def test_grouped_fit_equals_individual_fits_on_rank_remapped_ids(spark):
+    """kmeans_fit_grouped (rank_mod seeds) over a tagged frame must equal
+    an individual kmeans_fit per cell with ids remapped to the cell-local
+    rank (rank_mod on real ids == id_mod on contiguous rank ids) — the
+    parity that makes the hierarchical semdedup oracle mirrorable."""
+    import numpy as np
+
+    from backend_etl_spark.operators import clustering as C
+
+    rng = np.random.default_rng(7)
+    # non-contiguous, interleaved ids across 3 cells — the case where
+    # global id_mod striding could seed a cell EMPTY
+    rows = [
+        (int(1000 + 7 * i), int(i % 3), [float(x) for x in rng.normal(0, 1, 4)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cell int, embedding array<double>")
+
+    got = C.kmeans_fit_grouped(df, "cell", lambda n: max(2, n // 10), iters=3)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    want = {}
+    for c in (0, 1, 2):
+        sub = df.where(F.col("cell") == c)
+        remapped = sub.withColumn(
+            "vec_id",
+            F.row_number().over(Window.orderBy("vec_id")).cast("long") - 1,
+        )
+        n = sub.count()
+        want[c] = C.kmeans_fit(remapped, k=max(2, n // 10), iters=3)
+    assert got == want
+
+
+def test_assign_clusters_multi_matches_per_cell_assign(spark):
+    """assign_clusters_multi must assign every row exactly as
+    assign_clusters would against its own cell's centroids."""
+    import numpy as np
+
+    from backend_etl_spark.operators import clustering as C
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(i), int(i % 2), [float(x) for x in rng.normal(0, 1, 4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cell int, embedding array<double>")
+    cents = {
+        0: {i: [float(x) for x in rng.normal(0, 1, 4)] for i in range(3)},
+        # >= NP_ASSIGN_MIN_K so this tag rides the numpy kernel path
+        1: {i: [float(x) for x in rng.normal(0, 1, 4)] for i in range(6)},
+    }
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in C.assign_clusters_multi(df, cents, tag_col="cell").collect()
+    }
+    for c in (0, 1):
+        sub = C.assign_clusters(df.where(F.col("cell") == c), cents[c])
+        for r in sub.collect():
+            assert got[r["vec_id"]] == r["cluster"], (c, r["vec_id"])
