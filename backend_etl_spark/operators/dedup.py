@@ -830,10 +830,11 @@ def intra_cluster_cosine_drops(
     )
 
 
-#: row-block height for the intra-bucket cosine pair matrix — peak
-#: per-worker scratch is ~3 arrays of (block x bucket) doubles; 2048
-#: keeps that ~1 GB even at a 20k-row (sf10) bucket
-_COS_BLOCK = 2048
+#: tile edge for the intra-bucket cosine pair matrix — the accumulator
+#: tile (~3 arrays of block² doubles, ~6 MB at 512) must stay
+#: cache-resident across the per-dim fold; peak scratch is
+#: bucket-size-independent
+_COS_BLOCK = 512
 
 
 def intra_bucket_cosine_pairs(
@@ -852,17 +853,21 @@ def intra_bucket_cosine_pairs(
     emitted values are bit-identical to the zip_with/aggregate fold and
     the oracle's list_dot_product.
 
-    ROW-BLOCKED (r11): the pair matrix is computed in row blocks of
-    ``_COS_BLOCK`` against the full bucket, so per-worker peak memory is
-    O(block × bucket) doubles (~1 GB at a 20k-row sf10 bucket) instead
-    of O(bucket²) (~13 GB × concurrent workers — OOM at sf10). Blocking
-    partitions the ROWS only; each cell still accumulates sequentially
-    over dims in the same order, so every emitted value is identical to
-    the unblocked kernel's. Compute per pair is unchanged — the
-    quadratic term is the entry's output contract (all qualifying
-    within-bucket pairs); when buckets grow with the corpus, the
-    scalable operator is the adaptive-k SemDeDup path, not a bigger
-    pair matrix.
+    TILED (r11): the pair matrix is computed in ``_COS_BLOCK``-square
+    tiles over BOTH axes, upper triangle only. Two effects, measured at
+    the 20k-row sf10 bucket: (a) peak per-worker scratch is O(block²)
+    doubles (~2 MB) — bucket-size-independent, vs ~13 GB for the full
+    matrix; (b) the accumulator tile stays cache-resident across the
+    64-dim fold, so DRAM traffic drops from dim × bucket² × 16 B
+    (~420 GB/bucket — the row-block×full-bucket variant was memory-bound
+    and its per-OUTPUT-row cost ROSE 1.65× across the sf1→sf10 decade)
+    to ~bucket² × 16 B. Tiling changes which cells are computed when —
+    never the per-cell dim order — so every emitted value is identical
+    to the unblocked kernel's, and lower-triangle tiles are skipped
+    outright (half the flops). The quadratic term that remains is the
+    entry's output contract (all qualifying within-bucket pairs); when
+    buckets grow with the corpus, the scalable operator is the
+    adaptive-k SemDeDup path, not a bigger pair matrix.
     """
     import numpy as np
     import pandas as pd
@@ -883,25 +888,29 @@ def intra_bucket_cosine_pairs(
         out_a, out_b, out_c = [], [], []
         for s in range(0, n, _COS_BLOCK):
             e_ = min(s + _COS_BLOCK, n)
-            D = np.zeros((e_ - s, n))
-            for j in range(dim):
-                D += X[s:e_, j, None] * X[None, :, j]
-            cos = D / (nrm[s:e_, None] * nrm[None, :])
-            scaled = cos * 1e6
-            cos = (
-                np.where(
-                    scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            for cs in range(s, n, _COS_BLOCK):
+                ce = min(cs + _COS_BLOCK, n)
+                D = np.zeros((e_ - s, ce - cs))
+                for j in range(dim):
+                    D += X[s:e_, j, None] * X[None, cs:ce, j]
+                cos = D / (nrm[s:e_, None] * nrm[None, cs:ce])
+                scaled = cos * 1e6
+                cos = (
+                    np.where(
+                        scaled >= 0,
+                        np.floor(scaled + 0.5),
+                        np.ceil(scaled - 0.5),
+                    )
+                    / 1e6
                 )
-                / 1e6
-            )
-            keep = cos >= threshold
-            # strict upper triangle in GLOBAL indices: col > row+s
-            cols = np.arange(n)[None, :]
-            rows = np.arange(s, e_)[:, None]
-            ai, bi = np.nonzero(keep & (cols > rows))
-            out_a.append(ids[ai + s])
-            out_b.append(ids[bi])
-            out_c.append(cos[ai, bi])
+                keep = cos >= threshold
+                # strict upper triangle in GLOBAL indices: col > row
+                cols = np.arange(cs, ce)[None, :]
+                rows = np.arange(s, e_)[:, None]
+                ai, bi = np.nonzero(keep & (cols > rows))
+                out_a.append(ids[ai + s])
+                out_b.append(ids[bi + cs])
+                out_c.append(cos[ai, bi])
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(out_a),
