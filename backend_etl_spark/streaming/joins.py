@@ -34,6 +34,7 @@ def run_purchase_click_attribution(
     checkpoint_dir: str,
     window: str = "1 hour",
     delay: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Inner stream-stream join: (purchase, click) pairs where the click
     landed in (purchase_ts - window, purchase_ts] for the same user.
@@ -45,7 +46,7 @@ def run_purchase_click_attribution(
     drain yields exactly the batch join set.
     """
     p = (
-        read_events_stream(spark, source_dir)
+        read_events_stream(spark, source_dir, max_files_per_trigger)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -55,7 +56,7 @@ def run_purchase_click_attribution(
         .withWatermark("p_ts", delay)
     )
     c = (
-        read_events_stream(spark, source_dir)
+        read_events_stream(spark, source_dir, max_files_per_trigger)
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),

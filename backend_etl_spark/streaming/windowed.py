@@ -36,20 +36,41 @@ EVENTS_DDL = (
 
 
 def stage_events_source(
-    spark: SparkSession, sf_dir: str, out_dir: str, duplicate_n: int = 0
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    duplicate_n: int = 0,
+    files: int | None = None,
 ) -> None:
     """Materialize `events` as a stream-readable source directory
     (µs timestamps — readStream has no nanosAsLong shim). With
     ``duplicate_n`` > 0, re-deliver the first n events as a second file,
-    simulating the reference's overlap-window re-scrapes (at-least-once)."""
+    simulating the reference's overlap-window re-scrapes (at-least-once).
+    ``files`` pins the source file count (and with it the file→batch
+    split a per-trigger cap produces) — every drained entry's result is
+    split-independent by contract, so this only moves scheduling cost."""
     ev = load_table(spark, sf_dir, "events")
+    if files:
+        ev = ev.repartition(files)
     ev.write.mode("overwrite").parquet(out_dir)
     if duplicate_n:
         ev.orderBy("event_id").limit(duplicate_n).write.mode("append").parquet(out_dir)
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    return spark.readStream.schema(EVENTS_DDL).parquet(source_dir)
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a staged directory. With
+    ``max_files_per_trigger`` unset, an availableNow drain takes all
+    staged files in ONE micro-batch (minimum scheduling overhead);
+    setting it bounds per-batch input — the latency/throughput knob a
+    live deployment turns, measured in BASELINE §x."""
+    r = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.parquet(source_dir)
 
 
 def run_windowed_counts(

@@ -1,6 +1,7 @@
 """Structured Streaming ingest: availableNow drain → idempotent sink;
 checkpointed re-run is a no-op (the W5 effectively-once recipe)."""
 
+import os
 import shutil
 
 from backend_etl_spark.sources.loader import load_table
@@ -293,3 +294,41 @@ def test_stream_throttled_microbatches(spark, sf_dir, tmp_path):
     )
     assert sum(batches) == 150
     assert len(batches) >= 3  # bounded micro-batches, not one big gulp
+
+
+def test_sessionize_split_independent_under_trigger_cap(spark, sf_dir, tmp_path):
+    """The files-per-trigger knob (BASELINE §x latency/throughput curve)
+    moves ONLY scheduling: a TIME-ORDERED many-file source drained one
+    file per trigger emits exactly the sessions an unbounded single-gulp
+    drain emits — more micro-batches, same result. (Time-ordered slices,
+    not repartition: an arbitrary scramble is not a valid delivery — a
+    straggler older than a flushed session starts a phantom session.)"""
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    src0 = str(tmp_path / "src0")
+    stateful.stage_events_with_sentinels(spark, sf_dir, src0)
+    src = str(tmp_path / "src")
+    sliced = spark.read.parquet(src0).withColumn(
+        "_slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        sliced.where(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.1)
+
+    results = {}
+    for tag, fpt in (("capped", 1), ("unbounded", None)):
+        sink, ckpt = str(tmp_path / f"sink_{tag}"), str(tmp_path / f"ckpt_{tag}")
+        stateful.run_sessionize(spark, src, sink, ckpt, max_files_per_trigger=fpt)
+        results[tag] = sorted(
+            tuple(r) for r in spark.read.parquet(sink).collect()
+        )
+        n_commits = len(
+            [f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")]
+        )
+        results[tag + "_batches"] = n_commits
+    assert results["capped"] == results["unbounded"] != []
+    assert results["capped_batches"] > results["unbounded_batches"]
