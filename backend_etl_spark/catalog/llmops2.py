@@ -2332,6 +2332,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         lambda cn: max(1, cn // _SEM_TARGET),
         iters=_KM_ITERS,
+        # cells derives deterministically from emb + the (memoized)
+        # coarse fit, but its checkpoint has no stable plan key — memo
+        # under the upstream relation + derivation tag instead
+        memo_df=emb,
+        memo_tag=f"sem_fine_k1={k1}",
     )
     e2 = clustering.assign_clusters_multi(
         cells, fine, tag_col="cell", out_col="fid"

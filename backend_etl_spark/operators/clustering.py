@@ -435,6 +435,8 @@ def kmeans_fit_grouped(
     iters: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    memo_df: DataFrame | None = None,
+    memo_tag: str | None = None,
 ) -> dict[int, dict[int, list[float]]]:
     """Lock-step Lloyd's over the GROUPS of one pre-tagged relation —
     the second level of a two-level (coarse → per-cell fine) fit. Same
@@ -445,9 +447,25 @@ def kmeans_fit_grouped(
     ``k_for_count`` maps a cell's row count to its fine k (e.g.
     ``lambda n: max(1, n // 100)`` keeps fine clusters ~100 vectors for
     a SemDeDup pair stage). Seeds/updates per group are identical to an
-    individual kmeans_fit over that group's rows. Not memoized — the
-    tag column makes the plan key ambiguous; callers cache results
-    themselves if reused."""
+    individual kmeans_fit over that group's rows.
+
+    Memoization: ``df`` is typically checkpointed (no stable plan key),
+    so the caller passes ``memo_df`` — the UPSTREAM parquet-backed
+    relation the tagging was derived from — plus a ``memo_tag`` naming
+    the deterministic derivation (e.g. "sem_fine_k1=8_iters=3"). The
+    fit is then cached per process under that pair, the same
+    train-once-per-corpus-snapshot discipline as _FIT_CACHE."""
+    key = None
+    if memo_df is not None and memo_tag is not None:
+        plan = _plan_key(memo_df)
+        if plan is not None:
+            key = (plan, "grouped", tag_col, iters, memo_tag, id_col, emb_col)
+            hit = _FIT_CACHE.get(key)
+            if hit is not None:
+                return {
+                    t: {cid: list(v) for cid, v in c.items()}
+                    for t, c in hit.items()
+                }
     tagged = df.select(
         F.col(tag_col).cast("int").alias("_tag"),
         F.col(id_col).alias("_id"),
@@ -461,7 +479,13 @@ def kmeans_fit_grouped(
         raise ValueError("kmeans_fit_grouped: empty input relation")
     ks = {t: int(k_for_count(n)) for t, n in counts.items()}
     its = {t: iters for t in counts}
-    return _fit_lockstep(tagged, ks, its, counts, seed_mode="rank_mod")
+    cents = _fit_lockstep(tagged, ks, its, counts, seed_mode="rank_mod")
+    if key is not None:
+        _FIT_CACHE[key] = cents
+        return {
+            t: {cid: list(v) for cid, v in c.items()} for t, c in cents.items()
+        }
+    return cents
 
 
 def _fit_lockstep(
