@@ -79,6 +79,13 @@ def build_summary_line(out: dict) -> str:
     return line
 
 
+def roll_qualifies(n_contended: int, n_times: int) -> bool:
+    """--roll-history states intent; the run must still qualify — same
+    10% contention bar as the canonical stamp (a degraded run's
+    adjudicated map must never become a 3-round-best baseline)."""
+    return n_contended <= n_times // 10
+
+
 def resolve_full_path(
     here_dir: str, fname: str, canonical: bool, cold: bool
 ) -> str:
@@ -321,11 +328,21 @@ def main() -> None:
         # ratchet that manufactured 10 drift flags out of ordinary
         # run-to-run jitter on a busy box. The history's contract is one
         # record per ROUND (the canonical clean run), promoted
-        # deliberately at round end.
+        # deliberately at round end — and even an explicit roll is
+        # refused when THIS run turned out box-degraded (r11: a
+        # --roll-history run landed in a 49-flag window and appended a
+        # degraded record; the flag states intent, the run must still
+        # qualify).
         roll = (
             "--roll-history" in sys.argv
             or os.environ.get("SPARK_GRAFT_BENCH_ROLL") == "1"
         )
+        if roll and not errors and not roll_qualifies(len(contended), len(times)):
+            print(
+                f"(roll-history refused: {len(contended)} contention flags "
+                f"> 10% of {len(times)} — box-degraded run)"
+            )
+            roll = False
         if roll and not errors:
             history.append(
                 {

@@ -1,7 +1,9 @@
 """Round-11 mechanism pins: the midpoint-ulp rounding-divergence
 witness (why cross-path assignment equality is fixture-attested, not
 universal), the conflict-safe MinHash fold, the canonical bench_full
-routing, and the gated per-row-cost baseline roll."""
+routing, the gated per-row-cost baseline roll, the row-blocked cosine
+kernel, and the two-level SemDeDup fit (grouped rank-mod seeds +
+per-cell assignment — the sf1→sf10 slope fix, BASELINE §x)."""
 
 from __future__ import annotations
 
@@ -322,3 +324,12 @@ def test_assign_clusters_multi_matches_per_cell_assign(spark):
         sub = C.assign_clusters(df.where(F.col("cell") == c), cents[c])
         for r in sub.collect():
             assert got[r["vec_id"]] == r["cluster"], (c, r["vec_id"])
+
+
+def test_roll_history_refused_on_degraded_run():
+    """--roll-history states intent; a box-degraded run (>10% contention
+    flags) must still be refused — measured live in r11 when an explicit
+    roll landed in a 49-flag window and appended a degraded record."""
+    assert not bench.roll_qualifies(49, 203)
+    assert bench.roll_qualifies(14, 203)  # the canonical r11 run
+    assert bench.roll_qualifies(0, 203)
