@@ -27,11 +27,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # vanilla session: the driver does NOT apply our tuned confs.
 # DRIVER_SIM_MEMORY sizes the single local JVM for big local SFs (sf1's
 # 6M-row tables don't fit Spark's 1g default local heap) — it changes
-# capacity only, never query semantics.
+# capacity only, never query semantics. DRIVER_SIM_MAX_RESULT likewise
+# raises spark.driver.maxResultSize: the harness COLLECTS each result
+# to hash it, and a multi-GB result set (sf10 LSH candidate pairs) hits
+# the 1g default — a harness capacity limit, not an engine one.
 _mem = os.environ.get("DRIVER_SIM_MEMORY")
 _b = SparkSession.builder.master("local[8]").appName("driver-sim")
 if _mem:
     _b = _b.config("spark.driver.memory", _mem)
+_mrs = os.environ.get("DRIVER_SIM_MAX_RESULT")
+if _mrs:
+    _b = _b.config("spark.driver.maxResultSize", _mrs)
 spark = _b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
