@@ -2317,9 +2317,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thousands of splits and this repartition is a no-op-sized tax.
     par = spark.sparkContext.defaultParallelism
     emb = load_table(spark, sf_dir, "embeddings").repartition(par)
-    kt = max(_KM_K, emb.count() // _SEM_TARGET)
+    n_emb = emb.count()
+    kt = max(_KM_K, n_emb // _SEM_TARGET)
     k1 = max(_KM_K, int(math.floor(math.sqrt(float(kt)))))
-    coarse = clustering.kmeans_fit(emb, k=k1, iters=_KM_ITERS)
+    # n passed through: the coarse fit's seeding reuses the count above
+    # instead of a second count job (cold local[1] fixed-cost trim,
+    # r11 verdict item 4)
+    coarse = clustering.kmeans_fit(emb, k=k1, iters=_KM_ITERS, n=n_emb)
     # the cell assignment feeds ~2·iters downstream jobs — materialize
     # once (at 100 TB: a persisted table, the corpus_bands discipline)
     cells = (
@@ -2337,6 +2341,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # under the upstream relation + derivation tag instead
         memo_df=emb,
         memo_tag=f"sem_fine_k1={k1}",
+        # fused counts+seeds: one window job instead of two (r12)
+        k_for_count_col=lambda cn: F.greatest(
+            F.floor(cn / _SEM_TARGET), F.lit(1)
+        ),
     )
     e2 = clustering.assign_clusters_multi(
         cells, fine, tag_col="cell", out_col="fid"

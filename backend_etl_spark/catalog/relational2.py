@@ -881,29 +881,53 @@ def agg_quantile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("group_quantiles_production")  # no SQL oracle BY DESIGN: the
-# Greenwald–Khanna sketch's returned values are engine-specific data
-# points (rank-bounded, not value-determined), so no portable SQL
-# reproduces them; the contract is attested instead by the rank-bound
-# tests (tests/test_quantiles_production.py at sf0.1) and the sf1
-# rank-error histogram (scripts/attest_quantiles_sf1.py → BASELINE §x).
-# Registered so the PRODUCTION quantile path's cost is a recorded bench
-# fact every round, not a design claim (r10 verdict item 4).
+@register(
+    "group_quantiles_production",
+    # The GK sketch's returned VALUES are engine-specific data points
+    # (rank-bounded, not value-determined), so no portable SQL reproduces
+    # them. What IS determined is the rank CONTRACT, so the entry emits
+    # its verdict — per group: row count, checks run, violations — and
+    # the oracle derives the expected table from the band arithmetic:
+    # zero violations exactly when the rank band
+    # [floor((q−ε)·n), ceil((q+ε)·n)] admits an achievable data rank in
+    # [1, n] (it always does for 0<q<1), which GK then guarantees to
+    # hit. A broken sketch yields n_violations > 0 → hash MISMATCH
+    # (r11 verdict item 1; ε = 1/10000 = DEFAULT_ACCURACY).
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus, count(*) AS n_rows
+      FROM orders GROUP BY o_orderstatus
+    ), q AS (SELECT unnest([0.25, 0.50, 0.90, 0.99]) AS q)
+    SELECT g.o_orderstatus, g.n_rows,
+           count(*) AS n_checks,
+           CAST(sum(CASE WHEN least(g.n_rows,
+                                    ceil((q.q + 0.0001) * g.n_rows))
+                          >= greatest(1,
+                                      floor((q.q - 0.0001) * g.n_rows))
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+    FROM g CROSS JOIN q
+    GROUP BY g.o_orderstatus, g.n_rows
+    """,
+)
 def group_quantiles_production_entry(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The 100 TB quantile path (operators/quantiles.
     group_quantiles_production): one mergeable GK sketch per group for
-    p25/p50/p90/p99 over orders.o_totalprice — same output shape as
+    p25/p50/p90/p99 over orders.o_totalprice — same shape as
     agg_quantile_family, partial-aggregatable state instead of a
-    buffered per-group sort."""
+    buffered per-group sort — followed by its distributed rank-contract
+    check (group_quantiles_rank_verdict): the sketch runs in full AND
+    every returned value's rank band is verified in one broadcast
+    conditional aggregate, so the recorded bench cost is sketch +
+    attestation and the driver row is hash-checked, not rows-only."""
     tune(spark)
     from backend_etl_spark.operators.quantiles import (
-        group_quantiles_production,
+        group_quantiles_rank_verdict,
     )
 
     o = load_table(spark, sf_dir, "orders")
-    return group_quantiles_production(
+    return group_quantiles_rank_verdict(
         o, ["o_orderstatus"], "o_totalprice", [0.25, 0.50, 0.90, 0.99]
     )
 

@@ -238,11 +238,19 @@ def assign_clusters_multi(
 
 
 def seed_centroids(
-    df: DataFrame, k: int, id_col: str = "vec_id", emb_col: str = "embedding"
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n: int | None = None,
 ) -> dict[int, list[float]]:
     """Deterministic strided seeds: the first k vectors whose id is a
-    multiple of floor(n/k), in id order. One count + one k-row collect."""
-    n = df.count()
+    multiple of floor(n/k), in id order. One count + one k-row collect;
+    a caller that already knows ``n`` passes it and skips the count job
+    (cold local[1] pays ~1 s of fixed cost per job — r11 verdict
+    item 4)."""
+    if n is None:
+        n = df.count()
     stride = max(n // k, 1)
     rows = (
         df.where((F.col(id_col) % stride) == 0)
@@ -309,6 +317,7 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n: int | None = None,
 ) -> dict[int, list[float]]:
     """Lloyd's iterations; returns the final centroid table. ``iters``
     assignment passes, ``iters - 1`` centroid updates (the last
@@ -318,7 +327,8 @@ def kmeans_fit(
     corpus-size-independent. Clusters that lose all members drop out
     (standard Lloyd's degeneracy; deterministic on both engines).
     Fits are memoized per process (see _FIT_CACHE) — callers get a
-    defensive copy, never the cached object.
+    defensive copy, never the cached object. ``n`` (the relation's row
+    count, when the caller already has it) skips the seeding count job.
     """
     plan = _plan_key(df)
     key = (plan, k, iters, id_col, emb_col) if plan is not None else None
@@ -326,7 +336,7 @@ def kmeans_fit(
         hit = _FIT_CACHE.get(key)
         if hit is not None:
             return {cid: list(v) for cid, v in hit.items()}
-    cents = seed_centroids(df, k, id_col, emb_col)
+    cents = seed_centroids(df, k, id_col, emb_col, n=n)
     for _ in range(iters - 1):
         assigned = assign_clusters(df, cents, emb_col)
         rows = (
@@ -437,6 +447,7 @@ def kmeans_fit_grouped(
     emb_col: str = "embedding",
     memo_df: DataFrame | None = None,
     memo_tag: str | None = None,
+    k_for_count_col=None,
 ) -> dict[int, dict[int, list[float]]]:
     """Lock-step Lloyd's over the GROUPS of one pre-tagged relation —
     the second level of a two-level (coarse → per-cell fine) fit. Same
@@ -454,7 +465,17 @@ def kmeans_fit_grouped(
     relation the tagging was derived from — plus a ``memo_tag`` naming
     the deterministic derivation (e.g. "sem_fine_k1=8_iters=3"). The
     fit is then cached per process under that pair, the same
-    train-once-per-corpus-snapshot discipline as _FIT_CACHE."""
+    train-once-per-corpus-snapshot discipline as _FIT_CACHE.
+
+    ``k_for_count_col``: the same cell-count→k rule as ``k_for_count``
+    but as a Column expression (e.g. ``lambda cn: F.greatest(
+    F.floor(cn / 100), F.lit(1))``). When given, per-cell counts,
+    strides, and seeds all come out of ONE window job instead of a
+    counts job + a seeds job — the cold-path fusion of r11 verdict
+    item 4 (each job on cold local[1] costs ~1 s of fixed overhead).
+    Numerics are identical to the two-job path (same rank_mod rule);
+    the collected rows carry the SQL-computed k so a drifted
+    ``k_for_count``/``k_for_count_col`` pair fails loudly."""
     key = None
     if memo_df is not None and memo_tag is not None:
         plan = _plan_key(memo_df)
@@ -471,15 +492,62 @@ def kmeans_fit_grouped(
         F.col(id_col).alias("_id"),
         _as_double(F.col(emb_col)).alias("_v"),
     )
-    counts = {
-        r["_tag"]: r["n"]
-        for r in tagged.groupBy("_tag").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not counts:
-        raise ValueError("kmeans_fit_grouped: empty input relation")
-    ks = {t: int(k_for_count(n)) for t, n in counts.items()}
-    its = {t: iters for t in counts}
-    cents = _fit_lockstep(tagged, ks, its, counts, seed_mode="rank_mod")
+    if k_for_count_col is not None:
+        from pyspark.sql.window import Window
+
+        wa = Window.partitionBy("_tag")
+        w = Window.partitionBy("_tag").orderBy("_id")
+        seed_rows = (
+            tagged.withColumn("_cn", F.count(F.lit(1)).over(wa))
+            .withColumn(
+                "_kfk", k_for_count_col(F.col("_cn")).cast("int")
+            )
+            .withColumn(
+                "_stride",
+                F.greatest(
+                    F.floor(F.col("_cn") / F.col("_kfk")), F.lit(1)
+                ).cast("int"),
+            )
+            .withColumn("_rk", F.row_number().over(w) - 1)
+            .where((F.col("_rk") % F.col("_stride")) == 0)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.col("_kfk"))
+            .select("_tag", "_rn", "_v", "_cn", "_kfk")
+            .collect()
+        )
+        if not seed_rows:
+            raise ValueError("kmeans_fit_grouped: empty input relation")
+        counts = {r["_tag"]: r["_cn"] for r in seed_rows}
+        ks = {t: int(k_for_count(n)) for t, n in counts.items()}
+        drift = {
+            r["_tag"]
+            for r in seed_rows
+            if r["_kfk"] != ks[r["_tag"]]
+        }
+        if drift:
+            raise ValueError(
+                "kmeans_fit_grouped: k_for_count and k_for_count_col "
+                f"disagree for tag(s) {sorted(drift)}"
+            )
+        seeds: dict[int, dict[int, list[float]]] = {t: {} for t in counts}
+        for r in sorted(seed_rows, key=lambda r: (r["_tag"], r["_rn"])):
+            seeds[r["_tag"]][r["_rn"] - 1] = [float(x) for x in r["_v"]]
+        its = {t: iters for t in counts}
+        cents = _fit_lockstep(
+            tagged, ks, its, counts, seed_mode="rank_mod", seeds=seeds
+        )
+    else:
+        counts = {
+            r["_tag"]: r["n"]
+            for r in tagged.groupBy("_tag").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        if not counts:
+            raise ValueError("kmeans_fit_grouped: empty input relation")
+        ks = {t: int(k_for_count(n)) for t, n in counts.items()}
+        its = {t: iters for t in counts}
+        cents = _fit_lockstep(tagged, ks, its, counts, seed_mode="rank_mod")
     if key is not None:
         _FIT_CACHE[key] = cents
         return {
@@ -494,6 +562,7 @@ def _fit_lockstep(
     its: dict[int, int],
     counts: dict[int, int],
     seed_mode: str = "id_mod",
+    seeds: dict[int, dict[int, list[float]]] | None = None,
 ) -> dict[int, dict[int, list[float]]]:
     """Shared lock-step Lloyd's core over a ``(_tag, _id, _v)`` frame:
     per-tag strided seeds, then one assignment+update job per phase for
@@ -505,10 +574,16 @@ def _fit_lockstep(
     the PQ-codebook case); ``"rank_mod"`` strides on the row's RANK
     within its tag — required when tags partition the rows (a cell whose
     members happen to share no multiple of the stride would otherwise
-    seed EMPTY), and identical to id_mod on contiguous 0-based ids."""
+    seed EMPTY), and identical to id_mod on contiguous 0-based ids.
+
+    ``seeds``: precomputed per-tag seed centroids (the fused
+    counts+seeds window job in kmeans_fit_grouped) — skips the seeding
+    job here; must follow the same strided rule."""
     from pyspark.sql.window import Window
 
     tags = sorted(ks)
+    if seeds is not None:
+        return _lockstep_phases(tagged, ks, its, seeds)
     stride = {t: max(counts[t] // ks[t], 1) for t in tags}
     stride_expr = F.lit(None)
     for t in tags:
@@ -542,7 +617,18 @@ def _fit_lockstep(
     cents: dict[int, dict[int, list[float]]] = {t: {} for t in tags}
     for r in sorted(seed_rows, key=lambda r: (r["_tag"], r["_rn"])):
         cents[r["_tag"]][r["_rn"] - 1] = [float(x) for x in r["_v"]]
+    return _lockstep_phases(tagged, ks, its, cents)
 
+
+def _lockstep_phases(
+    tagged: DataFrame,
+    ks: dict[int, int],
+    its: dict[int, int],
+    cents: dict[int, dict[int, list[float]]],
+) -> dict[int, dict[int, list[float]]]:
+    """The assignment+update rounds of _fit_lockstep, from given seed
+    centroids — one job per phase over the still-active tags."""
+    tags = sorted(ks)
     for phase in range(max(its.values()) - 1):
         # a tag updates exactly its[t]-1 times, then freezes — each
         # phase's single job runs over the still-active tags only.

@@ -28,6 +28,11 @@ from backend_etl_spark.operators.partitioning import spread
 
 DEFAULT_NUM_HASHES = 4
 DEFAULT_SHINGLE = 3
+#: band-colocated LSH pair kernel cutoff: the carried-values shape costs
+#: O(bands²) shuffled values per doc and O(bands²) predicate terms, so
+#: above this the kernel reverts to the groupBy(pair)-count shape
+#: (see lsh_candidate_pairs).
+MAX_COLOCATED_BANDS = 16
 
 
 def content_key(col) -> F.Column:
@@ -235,8 +240,36 @@ def lsh_candidate_pairs(
     uniform (md5), so the shuffle is balanced; bucket sizes bound the
     pair fan-out. BASELINE.md records the measured (b, r) cost/recall
     curve; parity default (r=1) is the permissive end.
+
+    Two physical shapes, picked by band count (r11 advice): the
+    band-colocated shape carries all b band values on every melted row
+    (O(b²) values per doc shuffled) and its first-shared-band predicate
+    expands to O(b²) comparison terms — at b ≤ MAX_COLOCATED_BANDS
+    that is cheap and deletes the pair-keyed dedup shuffle entirely; at
+    a production b = 128 it would shuffle ~16k carried values per doc
+    and emit ~8k conjuncts (past whole-stage-codegen limits into
+    interpreted eval), so above the threshold the kernel falls back to
+    the groupBy(pair)-count shape, whose extra shuffle is O(shared
+    pairs) — the right trade once b² dominates.
     """
     n_bands = num_hashes // rows_per_band
+    if n_bands > MAX_COLOCATED_BANDS:
+        bands = signature_bands(signatures, id_col, num_hashes, rows_per_band)
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.hint("merge")
+            .join(
+                b.hint("merge"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_value") == F.col("b.band_value"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared_bands"))
+        )
     # every melted row carries ALL of its doc's band values, so a
     # collision row can decide IN-STAGE (r11) whether the band it
     # matched on is the pair's FIRST shared band — each pair then

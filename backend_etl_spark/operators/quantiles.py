@@ -82,3 +82,81 @@ def group_quantiles_production(
             for i, n in enumerate(names)
         ],
     )
+
+
+def group_quantiles_rank_verdict(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    accuracy: int = DEFAULT_ACCURACY,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Run the production sketch AND check its rank contract, fully
+    distributed — the deterministic form of the GK attestation
+    (scripts/attest_quantiles_sf1.py, r11 verdict item 1).
+
+    GK's returned values are engine-specific data points, so no portable
+    SQL reproduces them; what IS determined is the contract itself: each
+    returned value's achievable rank range ``[count(<v)+1, count(<=v)]``
+    must intersect the band ``[floor((q−ε)·n), ceil((q+ε)·n)]``
+    (ε = 1/accuracy). This emits the per-group verdict —
+    ``(group, n_rows, n_checks, n_violations)`` — computed with the same
+    mergeable-aggregate discipline as the sketch: the tiny sketch-result
+    frame is melted to (group, q, v) and broadcast into ONE conditional
+    aggregate over the data, so no group is ever collected and the check
+    runs at any SF. A broken sketch makes ``n_violations`` nonzero and
+    the row hash-MISMATCHES its oracle instead of hiding behind a
+    rows-only check.
+
+    ``round_dp`` must not perturb ranks: keep it ≥ the value column's
+    decimal precision (default 6 vs the 2-decimal money columns).
+    """
+    eps = 1.0 / accuracy
+    prod = group_quantiles_production(
+        df, group_cols, value_col, qs, accuracy, round_dp
+    )
+    names = prod.columns[len(group_cols):]
+    qv = prod.select(
+        *group_cols,
+        F.stack(
+            F.lit(len(qs)),
+            *[
+                x
+                for q, nm in zip(qs, names)
+                for x in (F.lit(float(q)), F.col(nm))
+            ],
+        ).alias("q", "v"),
+    )
+    data = df.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(group_cols)],
+        F.col(value_col).alias("_x"),
+    )
+    on = None
+    for i, c in enumerate(group_cols):
+        eq = F.col(f"_g{i}") == F.col(c)
+        on = eq if on is None else on & eq
+    ranks = (
+        data.join(F.broadcast(qv), on)
+        .groupBy(*group_cols, "q", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_x") < F.col("v")).cast("bigint")).alias("lt"),
+            F.sum((F.col("_x") <= F.col("v")).cast("bigint")).alias("le"),
+        )
+    )
+    checked = ranks.select(
+        *group_cols,
+        F.col("n"),
+        (
+            ((F.col("lt") + F.lit(1))
+             <= F.ceil((F.col("q") + F.lit(eps)) * F.col("n")))
+            & (F.col("le")
+               >= F.floor((F.col("q") - F.lit(eps)) * F.col("n")))
+        ).alias("_ok"),
+    )
+    return checked.groupBy(*group_cols).agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_checks"),
+        F.sum((~F.col("_ok")).cast("bigint")).alias("n_violations"),
+    )

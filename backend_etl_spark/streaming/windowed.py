@@ -46,13 +46,37 @@ def stage_events_source(
     (µs timestamps — readStream has no nanosAsLong shim). With
     ``duplicate_n`` > 0, re-deliver the first n events as a second file,
     simulating the reference's overlap-window re-scrapes (at-least-once).
-    ``files`` pins the source file count (and with it the file→batch
-    split a per-trigger cap produces) — every drained entry's result is
-    split-independent by contract, so this only moves scheduling cost."""
+    ``files`` stages that many sequential TS-RANGE slices with
+    increasing mtimes — the delivery order a live tailer produces, and
+    the only order under which a per-trigger cap is semantics-safe: the
+    r11 knee measurement (scripts/streaming_trigger_knee.py, BASELINE §x)
+    showed a repartition-scrambled multi-file source drained under
+    ``maxFilesPerTrigger`` yields phantom sessions and watermark drops,
+    so time-scrambled staging is NOT offered. The global ntile sort is
+    fine for a staging helper (it is test plumbing, not an operator)."""
     ev = load_table(spark, sf_dir, "events")
     if files:
-        ev = ev.repartition(files)
-    ev.write.mode("overwrite").parquet(out_dir)
+        import time as _time
+
+        from pyspark.sql.window import Window
+
+        sliced = ev.withColumn(
+            "_slice",
+            F.ntile(int(files)).over(Window.orderBy("ts", "event_id")),
+        )
+        mode = "overwrite"
+        for i in range(1, int(files) + 1):
+            (
+                sliced.where(F.col("_slice") == i)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode(mode)
+                .parquet(out_dir)
+            )
+            mode = "append"
+            _time.sleep(0.1)  # distinct ms mtimes → stable source order
+    else:
+        ev.write.mode("overwrite").parquet(out_dir)
     if duplicate_n:
         ev.orderBy("event_id").limit(duplicate_n).write.mode("append").parquet(out_dir)
 

@@ -38,6 +38,49 @@ from backend_etl_spark.session import get_spark  # noqa: E402
 MAX_SUMMARY_CHARS = 1800
 
 
+#: SPARK_GRAFT_BENCH_ONLY=heavy — the standing sf10 subset (r11 verdict
+#: item 5): the catalog's heaviest scale-sensitive families
+#: (dedup/knn/streaming/funnel + the big aggregates), benchable at sf10
+#: in minutes where the full catalog would take hours
+#: (window_sessionize_events alone is ~9 min there). The sf10 record
+#: (bench_full_sf10.json) carries the same per-entry adjudication and
+#: canonical-stamp discipline as sf0.1/sf1, so the third decade gets
+#: round-over-round drift detection instead of one-off sweeps.
+HEAVY_ENTRIES = [
+    "corpus_pipeline_funnel",
+    "dedup_exact_docs", "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_substring_spans",
+    "dedup_substring_cut", "dedup_cluster_components",
+    "dedup_keep_best_in_cluster", "dedup_incremental_snapshot",
+    "dedup_semantic_semdedup", "dedup_embedding_cosine_pairs",
+    "decontam_semantic", "decontam_ngram_overlap",
+    "knn_brute_force_cosine", "knn_lsh_bucketed", "knn_lsh_recall_at_5",
+    "knn_ivfpq_residual", "knn_ivfpq_rerank",
+    "streaming_ivfpq_index_append", "streaming_incremental_dedup",
+    "streaming_sessionize_stateful", "streaming_sketch_topk_fused",
+    "streaming_sketch_cms_merge", "streaming_windowed_counts",
+    "agg_median_price", "agg_approx_quantile_bounded",
+    "group_quantiles_production", "geo_nearest_supplier_binned",
+    "lang_id_heuristic", "text_quality",
+]
+
+
+def resolve_subset(only: str) -> list[str]:
+    """Entry names for a SPARK_GRAFT_BENCH_ONLY run: the literal
+    ``heavy`` set, or a comma list; unknown names fail loudly."""
+    names = (
+        list(HEAVY_ENTRIES)
+        if only == "heavy"
+        else [n.strip() for n in only.split(",") if n.strip()]
+    )
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ONLY: unknown entries {unknown}"
+        )
+    return names
+
+
 #: fields that must survive shedding — the headline facts every round's
 #: adjudication reads (anything else is duplicated in bench_full.json)
 ESSENTIAL_KEYS = (
@@ -90,13 +133,15 @@ def resolve_full_path(
     here_dir: str, fname: str, canonical: bool, cold: bool
 ) -> str:
     """Where this run's full map lands (r10 verdict item 1). A
-    non-canonical (box-degraded or errored) warm run must never clobber
-    an existing CANONICAL record — it diverts to ``*_degraded.json``.
-    If no canonical record exists yet (first run, or the incumbent is
-    itself stamped non-canonical / pre-dates the stamp), the degraded
-    map still lands in the primary file: a self-describing degraded
-    record beats no record."""
-    if not canonical and not cold:
+    non-canonical (box-degraded or errored) run must never clobber an
+    existing CANONICAL record — it diverts to ``*_degraded.json``. The
+    discipline applies to cold runs too (r11 advice: cold records carry
+    the same canonical stamp, so the same clobber hazard exists). If no
+    canonical record exists yet (first run, or the incumbent is itself
+    stamped non-canonical / pre-dates the stamp), the degraded map still
+    lands in the primary file: a self-describing degraded record beats
+    no record."""
+    if not canonical:
         try:
             with open(os.path.join(here_dir, fname)) as fh:
                 prev_canonical = bool(json.load(fh).get("canonical"))
@@ -185,7 +230,9 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     recycle_failures: list[str] = []
-    for i, name in enumerate(REGISTRY):
+    _only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    names = resolve_subset(_only) if _only else list(REGISTRY)
+    for i, name in enumerate(names):
         if not cold and recycle_every and i and i % recycle_every == 0:
             recycle()
         try:
@@ -336,7 +383,7 @@ def main() -> None:
         roll = (
             "--roll-history" in sys.argv
             or os.environ.get("SPARK_GRAFT_BENCH_ROLL") == "1"
-        )
+        ) and not _only  # a subset map must never become a 3-round best
         if roll and not errors and not roll_qualifies(len(contended), len(times)):
             print(
                 f"(roll-history refused: {len(contended)} contention flags "
@@ -375,6 +422,8 @@ def main() -> None:
         "variant": "cold-single-thread" if cold else "warm",
         "canonical": not degraded and not errors,
     }
+    if _only:
+        full["subset"] = _only
     if contended:
         full["contended"] = contended
     if highwater:
@@ -382,7 +431,10 @@ def main() -> None:
     if recycle_failures:
         full["recycle_failures"] = recycle_failures
     # non-default SFs write a suffixed file so a smoke run at sf0.001
-    # can't clobber the canonical sf0.1 record (the prev-run baseline)
+    # can't clobber the canonical sf0.1 record (the prev-run baseline).
+    # A SUBSET run at the default sf likewise diverts (its partial map
+    # must never become the full-catalog baseline); at big SFs the
+    # subset file IS the standing artifact (bench_full_sf10.json).
     default_sf = sf == "0.1"
     here_dir = os.path.dirname(os.path.abspath(__file__))
     fname = (
@@ -390,6 +442,8 @@ def main() -> None:
         if cold
         else ("bench_full.json" if default_sf else f"bench_full_sf{sf}.json")
     )
+    if _only and default_sf and not cold:
+        fname = "bench_full_subset.json"
     full_path = resolve_full_path(here_dir, fname, full["canonical"], cold)
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -408,12 +462,14 @@ def main() -> None:
         "value": None if errors else round(sum(times.values()), 3),
         "unit": "sec",
         "n_ok": len(times),
-        "n_total": len(REGISTRY),
+        "n_total": len(names),
         "queries": worst,
         "queries_file": os.path.basename(full_path),
         "sf": float(sf) if sf else None,
         "canonical": full["canonical"],
     }
+    if _only:
+        out["subset"] = _only
     if cold:
         out["variant"] = "cold-single-thread"
     confirmed_hw = {n: hw for n, hw in highwater.items() if hw.get("drift")}

@@ -170,12 +170,171 @@ def dedup_keep_best_in_cluster_sql_iter(con) -> tuple[list[str], list[tuple]]:
     return list(rel.columns), rel.fetchall()
 
 
+# ---------------------------------------------------------------------------
+# Staged two-level k-means oracle for dedup_semantic_semdedup (r11
+# verdict item 3): the primary oracle unrolls coarse fit + per-cell
+# fine fit + pair stage into ONE CTE DAG, which DuckDB plans as a
+# single pipeline whose working set at sf10 (~40 GB of live
+# intermediates) exceeds any sane memory cap — temp-table
+# materialization is what lets each phase complete and SPILL before the
+# next starts (the same loop-of-temp-tables pattern that retired the
+# recursive-CTE carve-out, commit 0b734de). Every expression below is
+# copied verbatim from _kmeans_cte/_sem_fine_cte semantics
+# (catalog/llmops2.py): literal n/k₁ substituted for the correlated
+# count (computed with the same greatest/floor-div/sqrt arithmetic),
+# identical 6-dp rounds, identical tie-breaks. Equivalence to the
+# primary oracle is pinned at sf0.001/sf0.01 by
+# tests/test_alt_oracles.py.
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8          # _KM_K
+_SEM_ITERS = 3      # _KM_ITERS
+_SEM_TARGET = 100
+
+
+def _sem_dd(left_v: str, right_cv: str) -> str:
+    """6-dp-rounded squared L2 between a point and a centroid —
+    byte-identical expression to the CTE oracle's."""
+    return (
+        f"round(list_reduce(list_transform(range(len({left_v})), "
+        f"j -> ({left_v}[j+1] - {right_cv}[j+1]) * "
+        f"({left_v}[j+1] - {right_cv}[j+1])), (x, y) -> x + y), 6)"
+    )
+
+
+def dedup_semantic_semdedup_staged(con) -> tuple[list[str], list[tuple]]:
+    import math
+
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE sem_e AS "
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    )
+    n = con.sql("SELECT count(*) FROM sem_e").fetchone()[0]
+    kt = max(_SEM_K, n // _SEM_TARGET)
+    k1 = max(_SEM_K, int(math.floor(math.sqrt(float(kt)))))
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE sem_c AS
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               v AS cv
+        FROM (SELECT vec_id, v,
+                     row_number() OVER (ORDER BY vec_id) AS seed_rn
+              FROM sem_e WHERE vec_id % greatest({n} // {k1}, 1) = 0)
+        WHERE seed_rn <= {k1}
+        """
+    )
+    for i in range(_SEM_ITERS):
+        con.execute(
+            f"""
+            CREATE OR REPLACE TEMP TABLE sem_a AS
+            SELECT vec_id, v, cid AS cluster, dd
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dd, cid) AS rn
+                  FROM (SELECT e.vec_id, e.v, c.cid,
+                               {_sem_dd('e.v', 'c.cv')} AS dd
+                        FROM sem_e e, sem_c c))
+            WHERE rn = 1
+            """
+        )
+        if i < _SEM_ITERS - 1:
+            con.execute(
+                """
+                CREATE OR REPLACE TEMP TABLE sem_c AS
+                SELECT cluster AS cid, array_agg(cv_d ORDER BY dim) AS cv
+                FROM (SELECT cluster, dim, round(avg(val), 6) AS cv_d
+                      FROM (SELECT cluster, unnest(v) AS val,
+                                   generate_subscripts(v, 1) AS dim
+                            FROM sem_a)
+                      GROUP BY cluster, dim)
+                GROUP BY cluster
+                """
+            )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE sem_cellpts AS "
+        "SELECT vec_id, v, cluster AS cell FROM sem_a"
+    )
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE sem_kf AS
+        SELECT cell, count(*) AS cn,
+               greatest(count(*) // {_SEM_TARGET}, 1) AS kfk,
+               greatest(count(*) //
+                        greatest(count(*) // {_SEM_TARGET}, 1), 1) AS stride
+        FROM sem_cellpts GROUP BY cell
+        """
+    )
+    con.execute(
+        """
+        CREATE OR REPLACE TEMP TABLE sem_f AS
+        SELECT cell, CAST(rn - 1 AS INT) AS fid, v AS cv
+        FROM (SELECT cell, v, kfk,
+                     row_number() OVER (PARTITION BY cell
+                                        ORDER BY vec_id) AS rn
+              FROM (SELECT p.cell, p.vec_id, p.v, k.kfk,
+                           row_number() OVER (PARTITION BY p.cell
+                                              ORDER BY p.vec_id) - 1 AS rk,
+                           k.stride
+                    FROM sem_cellpts p JOIN sem_kf k USING (cell))
+              WHERE rk % stride = 0)
+        WHERE rn <= kfk
+        """
+    )
+    for i in range(_SEM_ITERS):
+        con.execute(
+            f"""
+            CREATE OR REPLACE TEMP TABLE sem_fa AS
+            SELECT vec_id, v, cell, fid
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dd, fid) AS rn
+                  FROM (SELECT p.vec_id, p.v, p.cell, f.fid,
+                               {_sem_dd('p.v', 'f.cv')} AS dd
+                        FROM sem_cellpts p JOIN sem_f f USING (cell)))
+            WHERE rn = 1
+            """
+        )
+        if i < _SEM_ITERS - 1:
+            con.execute(
+                """
+                CREATE OR REPLACE TEMP TABLE sem_f AS
+                SELECT cell, fid, array_agg(cv_d ORDER BY dim) AS cv
+                FROM (SELECT cell, fid, dim, round(avg(val), 6) AS cv_d
+                      FROM (SELECT cell, fid, unnest(v) AS val,
+                                   generate_subscripts(v, 1) AS dim
+                            FROM sem_fa)
+                      GROUP BY cell, fid, dim)
+                GROUP BY cell, fid
+                """
+            )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE semfinal AS "
+        "SELECT vec_id, v, CAST(cell AS BIGINT) * 1000000 + fid AS cluster "
+        "FROM sem_fa"
+    )
+    con.execute(
+        """
+        CREATE OR REPLACE TEMP TABLE sem_drop AS
+        SELECT DISTINCT y.vec_id AS vb
+        FROM semfinal x JOIN semfinal y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE round(list_dot_product(x.v, y.v)
+                    / (sqrt(list_dot_product(x.v, x.v))
+                       * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
+        """
+    )
+    rel = con.sql(
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, "
+        "vec_id NOT IN (SELECT vb FROM sem_drop) AS kept FROM semfinal"
+    )
+    return list(rel.columns), rel.fetchall()
+
+
 #: entry name -> callable(duckdb_con) -> (cols, rows). The DEFAULT
 #: substitution is the SQL-iterative form (DuckDB end-to-end); the
 #: union-find versions remain as an independent cross-check.
 ALT_ORACLES = {
     "dedup_cluster_components": dedup_cluster_components_sql_iter,
     "dedup_keep_best_in_cluster": dedup_keep_best_in_cluster_sql_iter,
+    "dedup_semantic_semdedup": dedup_semantic_semdedup_staged,
 }
 
 UNION_FIND_ORACLES = {

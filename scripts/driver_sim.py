@@ -143,6 +143,25 @@ _alt = {}
 if os.environ.get("DRIVER_SIM_ALT_ORACLES"):
     from alt_oracles import ALT_ORACLES as _alt  # noqa: E402 (scripts/)
 
+# DRIVER_SIM_HASH_AGG: comma-separated entry names that compare via the
+# DISTRIBUTED order-insensitive hash (backend_etl_spark/attest.py)
+# instead of collect-and-normalize — removes the maxResultSize capacity
+# limit for multi-GB results (r11 verdict item 2): each engine reduces
+# its result to (count, two commutative 60-bit-hash sums) entirely
+# engine-side and only the scalars cross the driver. Strictness is
+# equal-or-stricter than the collect path (floats via DECIMAL(38,6)
+# instead of 12 significant digits); ledger rows carry
+# "compare": "dist_hash".
+_hash_agg = {
+    n.strip()
+    for n in (os.environ.get("DRIVER_SIM_HASH_AGG") or "").split(",")
+    if n.strip()
+}
+if _hash_agg:
+    from backend_etl_spark.attest import dist_hash_compare  # noqa: E402
+    unknown_hash = _hash_agg - set(contract.queries())
+    assert not unknown_hash, f"unknown entries in DRIVER_SIM_HASH_AGG: {unknown_hash}"
+
 
 def _record(rec: dict) -> None:
     if _ledger:
@@ -163,16 +182,25 @@ for name, fn in qs.items():
             _record({"name": name, "sf_dir": SF_DIR, "status": "rows_only",
                      "rows": n, "secs": round(time.perf_counter() - t0, 2)})
             continue
-        act_cols, act = list(sdf.columns), [tuple(r) for r in sdf.collect()]
         alt_used = name in _alt
-        if alt_used:
-            exp_cols, exp = _alt[name](con)
+        hash_used = name in _hash_agg and not alt_used
+        if hash_used:
+            v = dist_hash_compare(sdf, con, oracles[name])
+            schema_ok, count_ok, vals_ok = (
+                v["schema_ok"], v["count_ok"], v["vals_ok"],
+            )
+            n_act, n_exp = v["n_spark"], v["n_oracle"]
         else:
-            rel = con.sql(oracles[name])
-            exp_cols, exp = list(rel.columns), rel.fetchall()
-        schema_ok = sorted(act_cols) == sorted(exp_cols)
-        count_ok = len(act) == len(exp)
-        vals_ok = normalized_rows(act_cols, act) == normalized_rows(exp_cols, exp)
+            act_cols, act = list(sdf.columns), [tuple(r) for r in sdf.collect()]
+            if alt_used:
+                exp_cols, exp = _alt[name](con)
+            else:
+                rel = con.sql(oracles[name])
+                exp_cols, exp = list(rel.columns), rel.fetchall()
+            schema_ok = sorted(act_cols) == sorted(exp_cols)
+            count_ok = len(act) == len(exp)
+            vals_ok = normalized_rows(act_cols, act) == normalized_rows(exp_cols, exp)
+            n_act, n_exp = len(act), len(exp)
     except Exception as exc:  # noqa: BLE001 - ledger sweeps keep going
         if not _ledger:
             raise
@@ -184,20 +212,23 @@ for name, fn in qs.items():
         continue
     secs = round(time.perf_counter() - t0, 2)
     extra = {"oracle": "sql_iter"} if alt_used else {}
+    if hash_used:
+        extra["compare"] = "dist_hash"
     if schema_ok and count_ok and vals_ok:
         ok += 1
-        print(f"  + {name}: MATCH ({len(act)} rows)"
-              + (" [sql-iter oracle]" if alt_used else ""))
+        print(f"  + {name}: MATCH ({n_act} rows)"
+              + (" [sql-iter oracle]" if alt_used else "")
+              + (" [dist-hash]" if hash_used else ""))
         _record({"name": name, "sf_dir": SF_DIR, "status": "match",
-                 "rows": len(act), "secs": secs, **extra})
+                 "rows": n_act, "secs": secs, **extra})
     else:
         bad += 1
         print(f"  ! {name}: MISMATCH schema={schema_ok} count={count_ok} "
-              f"({len(act)} vs {len(exp)}) values={vals_ok}")
+              f"({n_act} vs {n_exp}) values={vals_ok}")
         _record({"name": name, "sf_dir": SF_DIR, "status": "mismatch",
-                 "rows": len(act), "secs": secs,
+                 "rows": n_act, "secs": secs,
                  "detail": f"schema={schema_ok} count={count_ok} "
-                           f"({len(act)} vs {len(exp)}) values={vals_ok}",
+                           f"({n_act} vs {n_exp}) values={vals_ok}",
                  **extra})
 print(f"\n{ok} match, {bad} mismatch, {rows_only} rows-only, "
       f"{errs} error of {len(qs)}")

@@ -15,8 +15,18 @@ Poisson(4) lineitems per order).
 Timing comparisons across SFs stay apples-to-apples; the oracle SQL is
 SF-agnostic, so driver_sim can also value-check the catalog here.
 
-Usage: python scripts/gen_sf.py [sf] [outdir]
+Usage: python scripts/gen_sf.py [sf] [outdir] [--skew A]
        defaults: sf=1 outdir=/root/repo/.localdata/sf1
+
+``--skew A`` (e.g. 1.2) draws ``events.user_id`` and
+``orders.o_custkey`` from a ranked Zipf(A) law over the same key
+domains instead of uniform — the hot-PARTITION failure mode a 100 TB
+deployment actually hits (one viral tenant owning a double-digit share
+of a table), which uniform synthetic data can never exercise (r11
+verdict item 6). Row counts, schemas, and every other column are
+identical to the uniform build, so salted-vs-unsalted timings are
+apples-to-apples; the default outdir gains a ``_skew`` suffix so a
+skewed build can never shadow the canonical uniform one.
 """
 
 from __future__ import annotations
@@ -65,9 +75,27 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows -> {path}")
 
 
+def _zipf_keys(rng, n_keys: int, n_draws: int, a: float) -> np.ndarray:
+    """Ranked-Zipf draw over [0, n_keys): P(key=i) ∝ 1/(i+1)^a. Key 0 is
+    the hottest — measured at a=1.2, n_keys=15k: it owns ~21% of all
+    rows and the top-5 ~42% (the viral-tenant shape real activity
+    tables show)."""
+    w = 1.0 / np.power(np.arange(1, n_keys + 1, dtype=np.float64), a)
+    return rng.choice(n_keys, n_draws, p=w / w.sum()).astype(np.int64)
+
+
 def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
+    argv = sys.argv[1:]
+    skew_a = 0.0
+    if "--skew" in argv:
+        i = argv.index("--skew")
+        skew_a = float(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    sf = float(args[0]) if args else 1.0
+    outdir = args[1] if len(args) > 1 else "/root/repo/.localdata/sf1"
+    if skew_a and len(args) <= 1:
+        outdir += "_skew"
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
     mult = sf / REF_SF
@@ -123,7 +151,11 @@ def main() -> None:
     )
     _write(outdir, "orders", pa.table({
         "o_orderkey": keys,
-        "o_custkey": rng.integers(0, n["customer"], no).astype(np.int64),
+        "o_custkey": (
+            _zipf_keys(rng, n["customer"], no, skew_a)
+            if skew_a
+            else rng.integers(0, n["customer"], no).astype(np.int64)
+        ),
         "o_orderstatus": pa.array(rng.choice(["F", "O", "P"], no)),
         "o_totalprice": np.round(rng.uniform(1000, 500000, no), 2),
         "o_orderdate": pa.array(odate_us, type=pa.timestamp("us")),
@@ -162,7 +194,11 @@ def main() -> None:
     _write(outdir, "events", pa.table({
         "event_id": np.arange(ne, dtype=np.int64),
         "ts": pa.array(rng.integers(e0, e1, ne), type=pa.timestamp("us")),
-        "user_id": rng.integers(0, n_users, ne).astype(np.int64),
+        "user_id": (
+            _zipf_keys(rng, n_users, ne, skew_a)
+            if skew_a
+            else rng.integers(0, n_users, ne).astype(np.int64)
+        ),
         "event_type": pa.array(
             rng.choice(["click", "error", "purchase", "signup", "view"], ne)
         ),
@@ -214,7 +250,11 @@ def main() -> None:
         "label": labels,
     }))
 
-    print(f"sf{sf} written to {outdir}")
+    print(
+        f"sf{sf} written to {outdir}"
+        + (f" (zipf skew a={skew_a} on events.user_id, orders.o_custkey)"
+           if skew_a else "")
+    )
 
 
 if __name__ == "__main__":

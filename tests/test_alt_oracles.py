@@ -9,6 +9,12 @@ DuckDB end-to-end, recursion replaced by a bounded materialized loop;
 the sf1 ledger path), and the Python union-find (an independent
 algorithm, kept as a cross-check).
 
+Since r12 the same parametrized pin also covers the STAGED semdedup
+oracle (alt_oracles.dedup_semantic_semdedup_staged): the two-level
+k-means CTE DAG materialized phase-by-phase as temp tables so DuckDB
+can spill at sf10 instead of OOMing on the unrolled pipeline's live
+intermediates (r11 verdict item 3).
+
 Pure DuckDB + Python: no Spark session, so these run in seconds.
 """
 

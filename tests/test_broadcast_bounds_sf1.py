@@ -48,6 +48,7 @@ SF1_BROADCAST_BOUNDS = {
     "sketch_loglog_merge_union": 64,        # m registers per sketch
     # closed key domains
     "curation_temperature_resample": 20,    # per-language totals (10 langs)
+    "group_quantiles_production": 16,       # 3 statuses x 4 quantiles = 12
     "timeseries_gap_fill_hourly": 5000,     # event_type x calendar-hour cells
     "timeseries_ewma_anomaly": 5000,        # event_type x calendar-hour cells
     # fixed constants of the algorithm

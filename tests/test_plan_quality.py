@@ -665,6 +665,11 @@ BOUNDED_BROADCAST_WHITELIST = {
     "sketch_loglog_merge_union": "LogLog register sets (m rows each)",
     # closed key domains
     "curation_temperature_resample": "per-language totals (closed lang set)",
+    "group_quantiles_production": (
+        "melted sketch frame (closed o_orderstatus domain x 4 quantiles); "
+        "at any SF the broadcast is |groups|*|qs| rows - the rank-verdict "
+        "check is built on broadcasting the sketch RESULT, never the data"
+    ),
     "timeseries_gap_fill_hourly": "(event_type x calendar-hour) cells",
     "timeseries_ewma_anomaly": "(event_type x calendar-hour) cells",
     # fixed constants of the algorithm

@@ -78,3 +78,36 @@ def test_sketch_state_never_buffers_group(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_percentile_approx" in plan, plan[:2000]
+
+
+def test_rank_verdict_green_and_has_teeth(spark, monkeypatch):
+    """The distributed rank-contract verdict (the driver-checked form of
+    this entry, r11 verdict item 1): all-zero violations on the real
+    sketch, and — the teeth — a broken sketch whose values fall outside
+    every rank band must surface as violations, not silently pass."""
+    import backend_etl_spark.operators.quantiles as Q
+
+    df = load_table(spark, "/root/testdata/sf0.01", "orders")
+    qs = [0.25, 0.50, 0.90, 0.99]
+    rows = Q.group_quantiles_rank_verdict(
+        df, ["o_orderstatus"], "o_totalprice", qs
+    ).collect()
+    assert rows
+    assert all(
+        r["n_checks"] == len(qs) and r["n_violations"] == 0 for r in rows
+    )
+
+    real = Q.group_quantiles_production
+
+    def broken(df, gcols, vcol, qs, accuracy=Q.DEFAULT_ACCURACY, round_dp=6):
+        good = real(df, gcols, vcol, qs, accuracy, round_dp)
+        pcols = good.columns[len(gcols):]
+        return good.select(
+            *gcols, *[(F.col(c) * 2 + 1e9).alias(c) for c in pcols]
+        )
+
+    monkeypatch.setattr(Q, "group_quantiles_production", broken)
+    bad = Q.group_quantiles_rank_verdict(
+        df, ["o_orderstatus"], "o_totalprice", qs
+    ).collect()
+    assert all(r["n_violations"] == r["n_checks"] for r in bad)
