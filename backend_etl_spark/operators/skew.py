@@ -17,6 +17,29 @@ Salting an aggregation is exact for algebraic aggregates (sum/count/
 min/max): stage 1 aggregates (key, salt), stage 2 merges partials per
 key. The second shuffle moves only |keys| × n_salts rows — negligible
 next to the unsalted hot-partition cost.
+
+MEASURED decision rules (r12, real Zipf(1.2) data where one user owns
+~20% of events — .ledger/skew_decade.json, BASELINE §y):
+
+- A hot key costs an ALGEBRAIC aggregate nothing: map-side partial
+  aggregation combines it inside every input split before the shuffle,
+  so the direct groupBy matched uniform-data speed (0.40 vs 0.81 s at
+  sf10) and salting only added its second shuffle (0.68 s). Reach for
+  salted_count_sum's two-stage shape when the aggregate's partial
+  state CANNOT combine (collect_list, exact percentile buffers) — for
+  sum/count/min/max the engine already did it.
+- A hot JOIN key is the real cost (1.7× uniform at sf10_skew), and
+  AQE's skew split recovers uniform performance (1.81 → 1.00 s,
+  SortMergeJoin(skew=true) in the executed plan) once the skew
+  threshold is proportionate to partition sizes — which it IS at
+  100 TB under defaults (a 20% hot key = hundreds of GB vs the 256 MB
+  threshold; locally the hot partition is ~40 MB and needs the
+  threshold scaled to be seen).
+- Plan-time salting is insurance priced at its replication cost
+  (~1.3–2 s fixed at local SFs, where it loses to AQE): use it when
+  the key is KNOWN pathological and the hot task alone dwarfs that
+  fixed cost, or the join is shuffled-hash where AQE's split can't
+  apply.
 """
 
 from __future__ import annotations

@@ -11,9 +11,15 @@ Per (sf_dir) it times, best-of-``reps`` each:
 - agg_salted:   operators/skew.salted_count_sum           (two-stage,
                 hot key spread over 16 partitions)
 - join_direct:  events ⋈ customer on user_id=c_custkey, sort-merge, AQE
-                skew-join ON (the runtime mitigation) — the executed
-                plan is scanned for AQE's ``isSkew=true``/``skew=true``
-                marker and recorded as evidence
+                skew-join ON at its DEFAULT thresholds (256 MB) — at
+                local SFs the hot partition (~40 MB at sf10) sits far
+                under them, so this shows the unmitigated hot-task cost
+- join_aqe_scaled: same join with the skew thresholds scaled to the
+                local partition sizes (8 MB/4 MB advisory) — the
+                mechanism a 100 TB deployment gets at DEFAULT settings,
+                where a 20% hot key is hundreds of GB; the executed
+                plan is scanned for AQE's ``isSkew=true`` marker and
+                recorded as evidence that the split actually engaged
 - join_salted:  operators/skew.salted_shuffle_join        (plan-time
                 guarantee, shuffle key (key, salt))
 
@@ -114,16 +120,44 @@ def main() -> None:
             "join_direct_aqe_s": _time(join_direct, reps),
             "join_salted_s": _time(join_salted, reps),
         }
-        # AQE skew evidence: the executed plan after an AQE run carries
-        # the skew marker on the sort-merge join when partitions split
-        join_direct.write.format("noop").mode("overwrite").save()
-        plan = join_direct._jdf.queryExecution().executedPlan().toString()
-        rec["aqe_skew_marker"] = ("skew=true" in plan) or ("isSkew" in plan)
+        # AQE skew-split evidence at thresholds matched to local
+        # partition sizes (the DEFAULT 256 MB threshold is sized for
+        # production partitions; the local hot partition is ~40 MB at
+        # sf10, invisible to it). The conf changes ONLY when AQE deems
+        # a partition skewed — never the plan semantics.
+        conf = spark.conf
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        try:
+            conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "8m",
+            )
+            conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+            rec["join_aqe_scaled_s"] = _time(join_direct, reps)
+            # evidence must come from an EXECUTED AQE plan: a noop write
+            # spawns its own QueryExecution, so collect() on the frame
+            # itself (5 result rows) and read ITS final adaptive plan
+            join_direct.collect()
+            plan = (
+                join_direct._jdf.queryExecution().executedPlan().toString()
+            )
+            rec["aqe_skew_marker"] = "skew=true" in plan.lower()
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
         out[tag] = rec
         print(
             f"{tag}: hot share {hot[0]['share']:.3f} | "
             f"agg direct {rec['agg_direct_s']}s salted {rec['agg_salted_s']}s | "
-            f"join direct(AQE) {rec['join_direct_aqe_s']}s "
+            f"join direct(AQE-default) {rec['join_direct_aqe_s']}s "
+            f"AQE-scaled {rec['join_aqe_scaled_s']}s "
             f"salted {rec['join_salted_s']}s | "
             f"aqe_skew_marker={rec['aqe_skew_marker']}"
         )
