@@ -106,7 +106,17 @@ def geo_nearest_supplier_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     — min over (dist, suppkey) structs (field-wise struct ordering =
     the ORDER BY dist, suppkey tiebreak) — which partial-aggregates
     map-side, unlike a window, so only one candidate row per customer
-    per partition reaches the shuffle."""
+    per partition reaches the shuffle.
+
+    DENSITY-bound, measured (r12, BASELINE §y): the synthetic coordinate
+    area is fixed, so point density grows with SF and the in-radius pair
+    relation grows quadratically BY SEMANTICS — ``n_within`` must
+    examine every (customer, in-range supplier) pair: 43.2M pairs at
+    sf1 → 4.32B at sf10 (×100 exactly), wall 9.2 → 683.7 s while
+    per-pair cost FELL 188 → 75 ns (whole-stage-codegen haversine).
+    Same exemption class as dedup_ngram_jaccard; at production, density
+    per cell is bounded by geography, not corpus size, and the knob is
+    cell_deg (smaller cells → tighter candidate sets)."""
     tune(spark)
     cust = _coords(load_table(spark, sf_dir, "customer"), "c_custkey", "c")
     supp = _coords(

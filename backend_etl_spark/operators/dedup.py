@@ -577,8 +577,14 @@ def cluster_components(
     RELIABLE checkpointing (files under this fault-tolerant dir — on a
     real cluster, HDFS/object storage) so executor loss mid-iteration
     recovers from the checkpoint instead of recomputing a broken
-    lineage. Without it (local mode / tests) localCheckpoint is used:
-    cheaper, but pinned to executors and not fault-tolerant.
+    lineage. Without it (local mode / tests) localCheckpoint is used —
+    at DISK_ONLY storage (r12): checkpoint blocks are UNEVICTABLE, so
+    memory-resident levels pin the whole edge relation in the unified
+    region and starve execution (measured at sf10: the 384M-edge graph
+    OOMed every round's sort with UNABLE_TO_ACQUIRE_MEMORY under a
+    24 GB heap; DISK_ONLY completes). At sf0.1 sizes the disk round
+    trip is noise; at every size it matches what reliable checkpointing
+    does anyway (files, not heap).
 
     ``max_degree``: mega-component guard. A pathological hub (e.g.
     boilerplate text whose shingles LSH-match everything) gives one node
@@ -597,7 +603,13 @@ def cluster_components(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(eager=True)
+        if checkpoint_dir:
+            return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        return df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
 
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
