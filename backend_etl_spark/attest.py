@@ -15,15 +15,29 @@ driver, so the compare runs at any SF.
 
 Cross-engine parity is pinned by tests/test_dist_hash.py: for every
 supported type the Spark and DuckDB normalizations render identical
-strings (ints/strings/bools/dates verbatim; floats through
-DECIMAL(38,6) — deliberately STRICTER than the collect path's
-12-significant-digit rule; timestamps through an explicit
-microsecond format). Unsupported cell types (arrays, structs, binary)
-raise: entries needing them keep the collect path.
+strings (ints/strings/bools/dates verbatim; floats rounded to 6 dp with
+the same round() on both sides THEN through DECIMAL(38,6) — the
+explicit round aligns the two engines' half-way behavior (r12 ADVICE)
+and is deliberately STRICTER than the collect path's
+12-significant-digit rule; timestamps through an explicit microsecond
+format). Non-scalar cells (r12 verdict item 1) render canonically too:
+BINARY as uppercase hex (identical in both engines, test-pinned);
+ARRAY as '[' + chr(31)-joined recursively-normalized elements + ']'
+with NULL elements as the chr(30) sentinel, an explicit NULL guard so
+a NULL array never aliases an empty one, and depth-indexed lambda
+variables so nesting composes; STRUCT as '{' + chr(31)-joined field
+values in FIELD-NAME order + '}', NULL-guarded the same way (a NULL
+struct must not alias an all-NULL-fields struct). MAP cells have no
+deterministic cross-engine ordering and still raise — entries carrying
+them keep the collect path.
 
-Collision note: two 60-bit hash sums must BOTH collide for a wrong
-result to pass; cells are joined with chr(31) after NULL-coalescing, so
-only adversarial data containing the separator could alias rows.
+NULL sentinel: a NULL cell renders as chr(30) (record separator), NOT
+the 4-char string 'NULL' — r12 ADVICE caught that COALESCE(cell,
+'NULL') made a literal 'NULL' string hash-identical to a NULL cell.
+chr(30)/chr(31) are non-printable and cannot appear in the synthetic
+corpora; adversarial data containing them could still alias rows or
+nesting boundaries (two 60-bit hash sums must BOTH collide for a wrong
+result to pass).
 """
 
 from __future__ import annotations
@@ -32,9 +46,10 @@ import re
 
 from pyspark.sql import DataFrame
 
-_SEP = 31  # ASCII unit separator
+_SEP = 31  # ASCII unit separator — joins cells, array elements, fields
+_NULL_SENTINEL = 30  # ASCII record separator — renders NULL cells
 
-#: logical type → (spark normalization template, duckdb template)
+#: scalar logical type → (spark normalization template, duckdb template)
 _NORM = {
     "int": (
         "CAST({c} AS STRING)",
@@ -44,9 +59,13 @@ _NORM = {
         "CAST(CAST({c} AS INT) AS STRING)",
         "CAST(CAST({c} AS INT) AS VARCHAR)",
     ),
+    # round() to 6 dp FIRST (both engines round half away from zero on
+    # doubles), then the exact decimal cast — without the round, the
+    # cast's own half-way handling could differ between engines on
+    # computed ratios (false MISMATCH, r12 ADVICE low)
     "float": (
-        "CAST(CAST({c} AS DECIMAL(38,6)) AS STRING)",
-        "CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)",
+        "CAST(CAST(round({c}, 6) AS DECIMAL(38,6)) AS STRING)",
+        "CAST(CAST(round({c}, 6) AS DECIMAL(38,6)) AS VARCHAR)",
     ),
     "decimal": (
         "CAST({c} AS STRING)",
@@ -61,6 +80,8 @@ _NORM = {
         "date_format({c}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')",
         "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')",
     ),
+    # uppercase hex in both engines (pinned by test_dist_hash)
+    "binary": ("hex({c})", "hex({c})"),
 }
 
 _TYPE_CLASS = [
@@ -71,6 +92,7 @@ _TYPE_CLASS = [
     (re.compile(r"^(string|varchar.*|text)$"), "string"),
     (re.compile(r"^date$"), "date"),
     (re.compile(r"^timestamp.*$"), "timestamp"),
+    (re.compile(r"^(binary|blob|bytea|varbinary)$"), "binary"),
 ]
 
 
@@ -82,16 +104,81 @@ def _classify(type_str: str) -> str:
     raise ValueError(f"dist-hash: unsupported column type {type_str!r}")
 
 
-def _canonical_expr(cols_types: list[tuple[str, str]], dialect: int) -> str:
+def _spark_cell_expr(col: str, dt, depth: int = 0) -> str:
+    """Canonical rendering of one Spark cell, recursing into containers.
+    ``col`` is an expression string; ``dt`` a pyspark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        var = f"_x{depth}"
+        inner = _spark_cell_expr(var, dt.elementType, depth + 1)
+        return (
+            f"concat('[', array_join(transform({col}, "
+            f"{var} -> COALESCE({inner}, char({_NULL_SENTINEL}))), "
+            f"char({_SEP})), ']')"
+        )
+    if isinstance(dt, T.StructType):
+        parts = []
+        for f in sorted(dt.fields, key=lambda f: f.name):
+            fe = _spark_cell_expr(f"{col}.`{f.name}`", f.dataType, depth + 1)
+            parts.append(f"COALESCE({fe}, char({_NULL_SENTINEL}))")
+        body = f", char({_SEP}), ".join(parts)
+        return (
+            f"CASE WHEN {col} IS NULL THEN NULL "
+            f"ELSE concat('{{', {body}, '}}') END"
+        )
+    if isinstance(dt, T.MapType):
+        raise ValueError("dist-hash: unsupported column type 'map'")
+    return _NORM[_classify(dt.simpleString())][0].format(c=col)
+
+
+def _duck_cell_expr(col: str, dt, depth: int = 0) -> str:
+    """Canonical rendering of one DuckDB cell (``dt`` a DuckDBPyType).
+    array_to_string returns NULL for an EMPTY list in DuckDB, so the
+    list branch coalesces the join to '' under an explicit is-NULL guard
+    — a NULL array renders as the sentinel, an empty one as '[]'."""
+    tid = dt.id
+    if tid in ("list", "array"):
+        var = f"_x{depth}"
+        inner = _duck_cell_expr(var, dict(dt.children)["child"], depth + 1)
+        return (
+            f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+            f"'[' || COALESCE(array_to_string(list_transform({col}, "
+            f"{var} -> COALESCE({inner}, chr({_NULL_SENTINEL}))), "
+            f"chr({_SEP})), '') || ']' END"
+        )
+    if tid == "struct":
+        parts = []
+        for fname, ft in sorted(dt.children):
+            fe = _duck_cell_expr(
+                f"struct_extract({col}, '{fname}')", ft, depth + 1
+            )
+            parts.append(f"COALESCE({fe}, chr({_NULL_SENTINEL}))")
+        body = f" || chr({_SEP}) || ".join(parts)
+        return (
+            f"CASE WHEN {col} IS NULL THEN NULL "
+            f"ELSE '{{' || {body} || '}}' END"
+        )
+    if tid == "map":
+        raise ValueError("dist-hash: unsupported column type 'map'")
+    return _NORM[_classify(str(dt))][1].format(c=col)
+
+
+def _spark_canonical_expr(schema) -> str:
     """concat_ws(chr(31), <normalized cells in column-name order>)."""
-    quote = "`" if dialect == 0 else '"'  # spark backticks, duckdb quotes
+    parts = []
+    for f in sorted(schema.fields, key=lambda f: f.name):
+        cell = _spark_cell_expr(f"`{f.name}`", f.dataType)
+        parts.append(f"COALESCE({cell}, char({_NULL_SENTINEL}))")
+    return f"concat_ws(char({_SEP}), {', '.join(parts)})"
+
+
+def _duck_canonical_expr(cols_types: list[tuple[str, object]]) -> str:
     parts = []
     for name, t in sorted(cols_types, key=lambda ct: ct[0]):
-        tmpl = _NORM[_classify(t)][dialect]
-        cell = tmpl.format(c=f"{quote}{name}{quote}")
-        parts.append(f"COALESCE({cell}, 'NULL')")
-    chrfn = "char" if dialect == 0 else "chr"
-    return f"concat_ws({chrfn}({_SEP}), {', '.join(parts)})"
+        cell = _duck_cell_expr(f'"{name}"', t)
+        parts.append(f"COALESCE({cell}, chr({_NULL_SENTINEL}))")
+    return f"concat_ws(chr({_SEP}), {', '.join(parts)})"
 
 
 #: per-dialect 60-bit row hashes off two disjoint md5 hex spans
@@ -113,7 +200,7 @@ def spark_hash_agg(sdf: DataFrame) -> dict:
     """(n, h1, h2, cols) of a Spark result, computed distributed (one
     map-side-combinable aggregate) — the only thing collected is the
     3-scalar aggregate row."""
-    row_expr = _canonical_expr(sdf.dtypes, dialect=0)
+    row_expr = _spark_canonical_expr(sdf.schema)
     out = (
         sdf.selectExpr(f"{row_expr} AS _s")
         .selectExpr(
@@ -136,8 +223,7 @@ def duckdb_hash_agg(con, sql: str) -> dict:
     as a subquery under the same canonical projection + aggregate, so
     DuckDB streams/spills instead of fetchall-ing the relation."""
     rel = con.sql(sql)
-    cols_types = list(zip(rel.columns, [str(t) for t in rel.types]))
-    row_expr = _canonical_expr(cols_types, dialect=1)
+    row_expr = _duck_canonical_expr(list(zip(rel.columns, rel.types)))
     out = con.sql(
         f"SELECT count(*) AS n, "
         f"sum(CAST({_H1[1]} AS DECIMAL(38,0))) AS h1, "

@@ -395,10 +395,21 @@ def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation (hot keys spread over 16 shuffle
     partitions, partials folded per key) — must equal the direct GROUP
     BY exactly. The skew-mitigation path for hot grouping keys at
-    100 TB; see operators/skew.py."""
+    100 TB. Routed through choose_skew_strategy (r12 verdict item 5)
+    with the production scenario this entry models — a NON-combinable
+    aggregate state on a ~20% viral-tenant key, the one case where the
+    measured rules say salting beats map-side combine; the advisor's
+    verdict is asserted, so a rule change breaks here loudly."""
     tune(spark)
-    from backend_etl_spark.operators.skew import salted_count_sum
+    from backend_etl_spark.operators.skew import (
+        choose_skew_strategy,
+        salted_count_sum,
+    )
 
+    strategy = choose_skew_strategy(
+        "aggregate", hot_share=0.195, agg_is_algebraic=False
+    )
+    assert strategy == "salted", strategy
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     out = salted_count_sum(ev, ["user_id"], "value")
     return out.withColumn("total", F.round("total", 2))
@@ -429,10 +440,25 @@ def skew_salted_join_hot_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     the case AQE's broadcast fallback can't save). Plan-gated:
     tests/test_plan_quality.py asserts the exchange partitions on the
     salt and no broadcast of the dim sneaks in. Must equal the plain
-    join exactly — the salt never changes the answer."""
+    join exactly — the salt never changes the answer. Routed through
+    choose_skew_strategy with the modeled scenario (shuffled-hash join,
+    un-broadcastable dim, known-pathological 75%-hot key — the case
+    AQE's skew split cannot rewrite); the advisor's verdict is
+    asserted, so a rule change breaks here loudly."""
     tune(spark)
-    from backend_etl_spark.operators.skew import salted_shuffle_join
+    from backend_etl_spark.operators.skew import (
+        choose_skew_strategy,
+        salted_shuffle_join,
+    )
 
+    strategy = choose_skew_strategy(
+        "join",
+        hot_share=0.75,
+        join_is_broadcastable=False,
+        join_strategy="shuffled_hash",
+        known_pathological=True,
+    )
+    assert strategy == "salted", strategy
     ev = load_table(spark, sf_dir, "events").select(
         F.when(F.col("user_id") % 4 != 0, F.lit(1))
         .otherwise(F.col("user_id"))

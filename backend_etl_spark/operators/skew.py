@@ -49,6 +49,69 @@ from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
 
+#: The measured divide between "uniform enough" and "hot" (r12 skew
+#: decade, .ledger/skew_decade.json): uniform Zipf-less builds put the
+#: heaviest key at ~1e-5 of rows; the Zipf(1.2) viral-tenant build puts
+#: it at ~0.20. Nothing in between occurred, and below ~1% of a table
+#: no single key can dominate a default-sized shuffle partition at any
+#: realistic partition count.
+HOT_SHARE_THRESHOLD = 0.01
+
+
+def choose_skew_strategy(
+    op: str,
+    hot_share: float,
+    *,
+    agg_is_algebraic: bool = True,
+    join_is_broadcastable: bool = False,
+    join_strategy: str = "sort_merge",
+    known_pathological: bool = False,
+) -> str:
+    """The r12-measured decision rules as code (r12 verdict item 5) —
+    returns ``direct`` / ``aqe`` / ``salted`` for an ``op`` of
+    ``aggregate`` or ``join`` whose heaviest key owns ``hot_share`` of
+    the rows. The thresholds are the .ledger/skew_decade.json
+    measurements (replayed through this function by
+    tests/test_r13_mechanisms.py), not guesses:
+
+    - AGGREGATE, algebraic state (sum/count/min/max/avg) → ``direct``
+      regardless of skew: map-side partial aggregation combines the hot
+      key inside every input split before the shuffle (measured: direct
+      0.40 s vs salted 0.68 s on the 19.5%-hot sf10 build — salting
+      only added its second shuffle).
+    - AGGREGATE, non-combinable state (collect_list, exact percentile
+      buffers) on a hot key → ``salted``: nothing combines map-side, so
+      the hot key's full row set lands on one task unless spread.
+    - JOIN, small side broadcastable → ``direct``: a broadcast join
+      never shuffles the fact side on the key, so key skew is moot.
+    - JOIN, sort-merge, hot key → ``aqe``: the runtime skew split
+      recovers uniform speed (1.81 → 1.00 s with ``skew=true`` in the
+      executed plan) at zero plan cost; at 100 TB the default 256 MB
+      threshold sees a 20% key without tuning. ``known_pathological``
+      overrides to ``salted`` — the plan-time guarantee for a key you
+      already know pins a task (AQE's split activates only when runtime
+      stats cross ITS thresholds; insurance is priced at the
+      replication cost, measured ~1.3–2 s at local SFs).
+    - JOIN, shuffled-hash, hot key → ``salted``: AQE's skew split
+      cannot rewrite a shuffled-hash join, so explicit (key, salt)
+      spreading is the only mitigation.
+    - Anything below HOT_SHARE_THRESHOLD → ``direct``: salting is pure
+      cost on uniform keys (measured 2.9 vs 1.1 s at uniform sf10).
+    """
+    if op == "aggregate":
+        if agg_is_algebraic or hot_share < HOT_SHARE_THRESHOLD:
+            return "direct"
+        return "salted"
+    if op == "join":
+        if join_is_broadcastable:
+            return "direct"
+        if hot_share < HOT_SHARE_THRESHOLD:
+            return "direct"
+        if known_pathological or join_strategy == "shuffled_hash":
+            return "salted"
+        return "aqe"
+    raise ValueError(f"choose_skew_strategy: unknown op {op!r}")
+
 
 def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS, col_name: str = "_salt") -> DataFrame:
     """Deterministic per-row salt in [0, n_salts) — hash of the whole row

@@ -16,6 +16,12 @@ Each query is forced end-to-end with a noop write (full plan execution,
 no driver collect bottleneck). A warmup pass runs first so steady-state
 numbers dominate; ``--cold`` / SPARK_GRAFT_BENCH_COLD=1 switches to the
 worst-case variant (local[1], no warmup).
+
+Committed records are written ONLY under SPARK_GRAFT_BENCH_CANONICAL=1
+(r12 verdict item 6): any run without the marker — the driver's
+post-commit run in particular — lands its full map in a gitignored
+``*_scratch.json`` sibling, so round boundaries no longer dirty
+``bench_full.json``. The stdout contract is unchanged either way.
 """
 
 from __future__ import annotations
@@ -78,7 +84,41 @@ def resolve_subset(only: str) -> list[str]:
         raise SystemExit(
             f"SPARK_GRAFT_BENCH_ONLY: unknown entries {unknown}"
         )
+    if not names:
+        # an effectively-empty spec (e.g. ",") would run zero entries and
+        # write a canonical-looking record with value 0.0 (r12 ADVICE)
+        raise SystemExit(
+            "SPARK_GRAFT_BENCH_ONLY resolved to zero entries"
+        )
     return names
+
+
+#: Deliberate-cost re-baselines (r12 verdict item 7): entries whose cost
+#: increase was an intentional, documented trade, not drift — the
+#: 3-round-best highwater baseline is FLOORED at the accepted cost so
+#: the flag fires only on movement ABOVE it. History records are never
+#: edited (they are measurements); the floor is the explicit, reviewable
+#: re-baseline. One BASELINE.md note per entry (§z).
+INTENTIONAL_COST_FLOORS = {
+    # r12: the entry now runs sketch + in-query GK rank verdict — the
+    # price of converting the last rows-only row to hash-green
+    # (operators/quantiles.py:100-162); adjudicated r12 cost 0.78 s vs
+    # the pre-verdict best3 0.24 s
+    "group_quantiles_production": 0.78,
+    # r12: DISK_ONLY localCheckpoint in the CC loop — the sf10 OOM fix
+    # (memory-level checkpoint blocks starved every round's sort);
+    # adjudicated r12 cost 3.97 s vs the memory-level best3 2.76 s
+    "dedup_cluster_components": 3.97,
+}
+
+
+def apply_cost_floors(best3: dict[str, float]) -> dict[str, float]:
+    """Raise each re-baselined entry's 3-round best to its accepted
+    intentional cost (no-op for entries absent from the history)."""
+    return {
+        n: max(b, INTENTIONAL_COST_FLOORS.get(n, 0.0))
+        for n, b in best3.items()
+    }
 
 
 #: fields that must survive shedding — the headline facts every round's
@@ -127,6 +167,66 @@ def roll_qualifies(n_contended: int, n_times: int) -> bool:
     10% contention bar as the canonical stamp (a degraded run's
     adjudicated map must never become a 3-round-best baseline)."""
     return n_contended <= n_times // 10
+
+
+def prune_history(history: list[dict]) -> list[dict]:
+    """Keep the last 3 records PER (sf, subset) stream — a flat
+    ``history[-3:]`` would let sf10 heavy rolls evict the sf0.1
+    full-catalog records (and vice versa), silently shrinking the other
+    decade's 3-round-best window."""
+    keep: set[int] = set()
+    by_stream: dict[tuple, list[dict]] = {}
+    for rec in history:
+        key = (str(rec.get("sf")), rec.get("subset", ""))
+        by_stream.setdefault(key, []).append(rec)
+    for recs in by_stream.values():
+        keep.update(id(r) for r in recs[-3:])
+    return [r for r in history if id(r) in keep]
+
+
+def resolve_record_fname(
+    here_dir: str, sf: str, cold: bool, only: str, marker: bool
+) -> str:
+    """Which record file this run targets.
+
+    - variant routing: cold → ``bench_full_cold.json``; non-default SF →
+      ``bench_full_sf{sf}.json``; else ``bench_full.json``.
+    - subset routing (r12 ADVICE medium): a SPARK_GRAFT_BENCH_ONLY map
+      at the default warm SF always diverts to ``bench_full_subset.json``;
+      at cold / non-default SFs it may land in the variant file ONLY
+      when the incumbent record carries the SAME subset stamp (the
+      standing sf10 ``heavy`` artifact) or there is no incumbent yet
+      (bootstrap — a self-describing subset record beats no record);
+      otherwise it diverts to ``*_subset.json`` so a partial map never
+      clobbers a full-catalog canonical record.
+    - driver-run routing (r12 verdict item 6): without the explicit
+      SPARK_GRAFT_BENCH_CANONICAL=1 marker the run writes a
+      ``*_scratch.json`` sibling (gitignored) and NEVER a committed
+      record — the driver's post-commit run used to dirty
+      ``bench_full.json`` at every round boundary. Adjudication
+      baselines still READ the canonical files, so driver-style runs
+      get the same contention/highwater annotations.
+    """
+    default_sf = sf == "0.1"
+    fname = (
+        "bench_full_cold.json"
+        if cold
+        else ("bench_full.json" if default_sf else f"bench_full_sf{sf}.json")
+    )
+    if only:
+        if default_sf and not cold:
+            fname = "bench_full_subset.json"
+        else:
+            try:
+                with open(os.path.join(here_dir, fname)) as fh:
+                    stamp = json.load(fh).get("subset")
+            except Exception:
+                stamp = only  # no incumbent: bootstrap in place
+            if stamp != only:
+                fname = fname.replace(".json", "_subset.json")
+    if not marker:
+        fname = fname.replace(".json", "_scratch.json")
+    return fname
 
 
 def resolve_full_path(
@@ -319,19 +419,28 @@ def main() -> None:
     }
     highwater: dict[str, dict] = {}
     hist_path = os.path.join(here, "bench_history.json")
-    if not cold and sf == "0.1":
+    # sf10 gets the same multi-round drift detection as sf0.1 (r12
+    # verdict item 2): its canonical artifact is the heavy-32 subset, so
+    # history records carry a subset stamp and best3 only reads records
+    # of the SAME coverage (a heavy-subset best must never baseline a
+    # full-catalog run or vice versa)
+    if not cold and sf in ("0.1", "10"):
         try:
             with open(hist_path) as fh:
                 history = json.load(fh).get("records", [])
         except Exception:
             history = []
+        stream = [
+            rec for rec in history
+            if str(rec.get("sf")) == str(float(sf))
+            and rec.get("subset", "") == _only
+        ]
         best3: dict[str, float] = {}
-        for rec in history[-3:]:
-            if str(rec.get("sf")) != str(float(sf)):
-                continue
+        for rec in stream[-3:]:
             for n, t in rec.get("queries", {}).items():
                 if isinstance(t, (int, float)):
                     best3[n] = min(best3.get(n, float("inf")), float(t))
+        best3 = apply_cost_floors(best3)
         for n, t in adjudicated.items():
             b = best3.get(n)
             if b and t / b > 1.3 and t - b > 0.25:
@@ -380,10 +489,14 @@ def main() -> None:
         # --roll-history run landed in a 49-flag window and appended a
         # degraded record; the flag states intent, the run must still
         # qualify).
+        # a subset map must never become a 3-round best — EXCEPT the
+        # sf10 heavy subset, which IS that decade's canonical artifact
+        # (its history records carry the subset stamp, and best3 above
+        # only reads same-coverage records)
         roll = (
             "--roll-history" in sys.argv
             or os.environ.get("SPARK_GRAFT_BENCH_ROLL") == "1"
-        ) and not _only  # a subset map must never become a 3-round best
+        ) and (not _only or (sf == "10" and _only == "heavy"))
         if roll and not errors and not roll_qualifies(len(contended), len(times)):
             print(
                 f"(roll-history refused: {len(contended)} contention flags "
@@ -391,16 +504,18 @@ def main() -> None:
             )
             roll = False
         if roll and not errors:
-            history.append(
-                {
-                    "stamp": f"run_{int(time.time())}",
-                    "sf": float(sf),
-                    "queries": {n: round(t, 3) for n, t in adjudicated.items()},
-                }
-            )
+            rec = {
+                "stamp": f"run_{int(time.time())}",
+                "sf": float(sf),
+                "queries": {n: round(t, 3) for n, t in adjudicated.items()},
+            }
+            if _only:
+                rec["subset"] = _only
+            history.append(rec)
             with open(hist_path, "w") as fh:
                 json.dump(
-                    {"records": history[-3:]}, fh, indent=1, sort_keys=True
+                    {"records": prune_history(history)},
+                    fh, indent=1, sort_keys=True,
                 )
 
     # Canonical-run discipline (r10 verdict item 1): a run with >10%
@@ -430,21 +545,17 @@ def main() -> None:
         full["highwater"] = highwater
     if recycle_failures:
         full["recycle_failures"] = recycle_failures
-    # non-default SFs write a suffixed file so a smoke run at sf0.001
-    # can't clobber the canonical sf0.1 record (the prev-run baseline).
-    # A SUBSET run at the default sf likewise diverts (its partial map
-    # must never become the full-catalog baseline); at big SFs the
-    # subset file IS the standing artifact (bench_full_sf10.json).
-    default_sf = sf == "0.1"
+    # record-file routing: variant + subset-stamp + driver-scratch rules
+    # (resolve_record_fname); a marker-bearing run additionally never
+    # clobbers a canonical record when itself degraded (resolve_full_path)
     here_dir = os.path.dirname(os.path.abspath(__file__))
-    fname = (
-        "bench_full_cold.json"
-        if cold
-        else ("bench_full.json" if default_sf else f"bench_full_sf{sf}.json")
+    _marker = os.environ.get("SPARK_GRAFT_BENCH_CANONICAL") == "1"
+    fname = resolve_record_fname(here_dir, sf, cold, _only, _marker)
+    full_path = (
+        resolve_full_path(here_dir, fname, full["canonical"], cold)
+        if _marker
+        else os.path.join(here_dir, fname)
     )
-    if _only and default_sf and not cold:
-        fname = "bench_full_subset.json"
-    full_path = resolve_full_path(here_dir, fname, full["canonical"], cold)
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # early, prefixed, NON-final line carrying the full map — recoverable

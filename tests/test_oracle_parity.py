@@ -22,10 +22,11 @@ def test_oracle_parity(spark, sf_dir, con, name):
     compare(df, con, spec.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = REGISTRY[name].fn(spark, sf_dir)
-    assert df.count() >= 0
+def test_no_rows_only_queries():
+    """All-oracle invariant (r12 verdict item 4): as of r12 every catalog
+    entry carries a DuckDB oracle — a future oracle-less entry must fail
+    loudly here instead of silently downgrading to a rows-only check."""
+    assert not ROWS_ONLY_QUERIES, ROWS_ONLY_QUERIES
 
 
 def test_every_catalog_entry_is_documented():
