@@ -848,28 +848,49 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus selection, completing the relevance family next to
     tfidf_top_terms (pure TF-IDF) and knn_* (dense).
 
-    Scale shape: doc-length and TF tables are one explode + bounded
-    groupBys; the query-term TF table is filtered to |Q| terms BEFORE
-    any join (a broadcast semi join on the query literals), so the
-    per-term IDF and the final score join touch only matching postings
-    — never the full vocabulary. Final top-15 is a TakeOrdered, not a
-    global sort. The corpus statistics (N, avgdl) ride a broadcast
-    1-row frame.
+    Scale shape (r13, guide §2.3/§2.4): the corpus is tokenized+exploded
+    exactly ONCE — the doc-length rides the explode as a projected
+    ``size()`` column, so the former corpus-sized dl groupBy AND its
+    corpus-sized merge join into the postings are gone (the r6
+    auto-broadcast hazard with them); df derives from the tf relation
+    (tf is unique on (doc_id, term), so rows-per-term IS the distinct
+    doc count) instead of a second corpus pass. The query-term TF table
+    is filtered to |Q| terms BEFORE any join (a broadcast semi join on
+    the query literals), so the per-term IDF and the final score join
+    touch only matching postings — never the full vocabulary. avgdl is
+    one map-only ``size(tokens())`` pass (zero-token docs filtered, as
+    the oracle's explode-groupBy form implies). Final top-15 is a
+    TakeOrdered, not a global sort. The corpus statistics (N, avgdl)
+    ride a broadcast 1-row frame.
     """
     tune(spark)
     from backend_etl_spark.functions.scalars import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame([(t,) for t in _BM25_QUERY], ["term"])
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    arr = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    toks = arr.select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    dl_rel = docs.select(F.size(tokens(F.col("text"))).alias("dl")).where(
+        F.col("dl") > 0
+    )
     stats = docs.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
+        dl_rel.agg(F.avg("dl").alias("avgdl"))
     )
     qtoks = toks.join(F.broadcast(q), "term")
-    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = qtoks.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("double").alias("df")
+    # tf is consumed twice (df → idf, and the score join) and stays
+    # LAZY: an eager localCheckpoint was measured SLOWER at sf0.1
+    # (1.13 → 1.61 s solo — the materialization barrier costs more than
+    # the one extra explode+join+agg recompute it saves; same class as
+    # the funnel's r7 nd-checkpoint finding)
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
     )
     idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
         "term",
@@ -890,11 +911,6 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        # merge hint: dl has one row per CORPUS document (and the
-        # posting side grows with df) while both through-agg estimates
-        # stay frozen tiny — the static planner would auto-broadcast a
-        # corpus-sized doc-length table (the r6 derived-side class)
-        .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
         .agg(
@@ -998,7 +1014,14 @@ def rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (as text_bm25_ranking); the dense branch is the
     broadcast-queries map-only cosine pass (as knn_brute_force_cosine);
     the fusion itself is a (qid, doc_id) equi-join of two ≤|Q|·20-row
-    relations — broadcast-sized by construction."""
+    relations — broadcast-sized by construction.
+
+    r13 (guide §2.3/§2.4): ONE tokenize+explode pass over the corpus
+    instead of three — doc length rides the explode as a projected
+    ``size()`` column (the corpus-sized dl groupBy and its merge join
+    into the postings are gone), and df derives from the matched tf
+    relation ((term, doc_id)-distinct of a |Q|-term postings slice)
+    instead of re-exploding the corpus."""
     tune(spark)
     from pyspark.sql.window import Window
 
@@ -1008,17 +1031,33 @@ def rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qt = spark.createDataFrame(_RRF_QUERIES, ["qid", "term"])
 
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    arr = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    toks = arr.select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    dl_rel = docs.select(F.size(tokens(F.col("text"))).alias("dl")).where(
+        F.col("dl") > 0
+    )
     stats = docs.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
+        dl_rel.agg(F.avg("dl").alias("avgdl"))
     )
     matched = toks.join(F.broadcast(qt), "term")
-    tf = matched.groupBy("qid", "doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf stays LAZY despite two consumers — eager-materializing it was
+    # measured slower at sf0.1 (1.96 → 2.28 s solo), as in
+    # text_bm25_ranking
+    tf = matched.groupBy("qid", "doc_id", "term").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    # df per term = distinct docs containing it; tf is unique on
+    # (qid, doc_id, term), so (term, doc_id)-distinct of tf is exact
+    # even when two queries share a term
     dfreq = (
-        toks.join(F.broadcast(qt.select("term").distinct()), "term")
+        tf.select("term", "doc_id")
+        .distinct()
         .groupBy("term")
-        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+        .agg(F.count("*").cast("double").alias("df"))
     )
     idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
         "term",
@@ -1039,9 +1078,6 @@ def rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sparse = (
         tf.join(F.broadcast(idf), "term")
-        # merge hint: dl is corpus-sized (r6 derived-side class) —
-        # same rationale as text_bm25_ranking
-        .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(per_term), 6).alias("bm25"))
