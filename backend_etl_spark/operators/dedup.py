@@ -684,7 +684,16 @@ def cluster_components(
             .observe(obs, F.sum("__chg").alias("changed"))
             .select("node", "label")
         )
+        prev_labels = labels
         labels = _ckpt(with_flag)
+        # round N's checkpoint is materialized (eager) — round N-1's
+        # blocks are now unreachable by anything downstream (isolated/
+        # edges have their own checkpoints); free them so the loop holds
+        # ONE label generation in the block manager, not one per round
+        # (guide §5: bounded per-task/block state; r13 leak finding)
+        from backend_etl_spark.session import release_checkpoint
+
+        release_checkpoint(prev_labels)
         if not obs.get["changed"]:
             break
     return labels.unionByName(isolated).select(

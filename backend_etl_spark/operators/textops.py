@@ -544,7 +544,7 @@ def bpe_train_merges(
         return (int(-b["nc"]), b["pair"]), vocab
 
     merges: list[dict] = []
-    cur = words
+    cur = _last_ckpt = words
     for rank in range(1, n_merges + 1):
         best, vocab = pair_and_vocab(cur)
         if merges:
@@ -566,7 +566,16 @@ def bpe_train_merges(
             "freq",
         )
         if rank % 8 == 0:  # bound lineage for production merge counts
-            cur = cur.localCheckpoint(eager=True)
+            prev_ckpt = _last_ckpt
+            cur = _last_ckpt = cur.localCheckpoint(eager=True)
+            # the new checkpoint is materialized — the previous
+            # generation (back to and including the initial `words`
+            # table) is unreachable; free its blocks so training holds
+            # ONE vocabulary generation, not n_merges/8 of them
+            # (guide §5; r13 leak finding)
+            from backend_etl_spark.session import release_checkpoint
+
+            release_checkpoint(prev_ckpt)
         merges.append(
             {
                 "merge_rank": rank,

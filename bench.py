@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from backend_etl_spark.catalog import REGISTRY  # noqa: E402
-from backend_etl_spark.session import get_spark  # noqa: E402
+from backend_etl_spark.session import get_spark, release_all_persistent  # noqa: E402
 
 
 #: the driver's stdout-tail capture window is ~2000 chars; the final
@@ -266,7 +266,16 @@ def main() -> None:
         t0 = time.perf_counter()
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        # between-query hygiene, OUTSIDE the timed region (r13): free
+        # the localCheckpoint blocks the finished query leaked — by
+        # entry ~50 the block manager otherwise carries dozens of dead
+        # survivor-set/index generations that evict/stall later entries
+        # (measured: repeated checkpoint-heavy entries degraded
+        # 3.7→5.6→7.6 s purely from accumulated blocks). The timed
+        # computation itself is unchanged.
+        release_all_persistent(spark)
+        return dt
 
     def warmup() -> None:
         # JVM + codegen + parquet footer cache; Arrow worker pool

@@ -30,7 +30,7 @@ ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
 from backend_etl_spark.catalog import REGISTRY  # noqa: E402
-from backend_etl_spark.session import get_spark  # noqa: E402
+from backend_etl_spark.session import get_spark, release_all_persistent  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -77,7 +77,9 @@ def main() -> None:
         fn(get_spark("r13-ab"), SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        release_all_persistent(spark)  # bench-identical hygiene (r13)
+        return dt
 
     out = {}
     for n in names:

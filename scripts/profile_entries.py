@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from backend_etl_spark.catalog import REGISTRY  # noqa: E402
-from backend_etl_spark.session import get_spark  # noqa: E402
+from backend_etl_spark.session import get_spark, release_all_persistent  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLANS_DIR = os.path.join(
@@ -61,6 +61,7 @@ def main() -> None:
             df = REGISTRY[name].fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+            release_all_persistent(spark)  # bench-identical hygiene (r13)
         out[name] = {
             "warm1": runs[0],
             "best": min(runs[1:]),
