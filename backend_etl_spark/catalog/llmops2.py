@@ -756,15 +756,49 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = doc_shingles(docs, "doc_id", "text", n=2, distinct=False).select(
         "doc_id", F.col("shingle").alias("bigram")
     )
-    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    from backend_etl_spark.functions.scalars import tokens
+    from backend_etl_spark.operators.dedup import shingles
+    from backend_etl_spark.operators.partitioning import spread
+
+    # ONE tagged explode builds bigram counts AND the vocab scalar (r13,
+    # guide §2.3/§2.4): previously bc, ctx (lazy recompute of bc) and
+    # the vocab count_distinct each re-ran a corpus tokenize+explode —
+    # 3 training passes. The (order, gram) occurrences ride a single
+    # explode into a single groupBy; the Zipf-bounded result is
+    # localCheckpointed, ctx/lp read its blocks, and vocab = the number
+    # of distinct unigram rows (count_distinct(tok) exactly). The gram
+    # arrays derive from the same tokens(text), so null/empty docs
+    # contribute nothing — as before.
+    def _tag(order: int, arr):
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(order).cast("int").alias("o"), g.alias("g")
+            ),
+        )
+
+    tagged = spread(docs.select("doc_id", "text"), "doc_id").select(
+        F.explode(
+            F.concat(
+                _tag(2, shingles(F.col("text"), 2)),
+                _tag(1, tokens(F.col("text"))),
+            )
+        ).alias("x")
+    ).select(F.col("x.o").alias("o"), F.col("x.g").alias("g"))
+    stats = (
+        tagged.groupBy("o", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bc = stats.where(F.col("o") == 2).select(
+        F.col("g").alias("bigram"), "c"
+    )
     ctx = bc.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w")).agg(
         F.sum("c").alias("cc")
     )
-    from backend_etl_spark.functions.scalars import tokens
-
     vocab = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        .agg(F.count_distinct("tok").alias("vocab"))
+        stats.where(F.col("o") == 1)
+        .agg(F.count(F.lit(1)).alias("vocab"))
     )
     # assemble the per-bigram logprob on the STATS side (Zipf-bounded
     # distinct bigrams), so the corpus-sized bg relation shuffles only
@@ -1251,7 +1285,11 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str):
     )(clustering._as_double(F.col("embedding")))
     index = emb.select(
         "vec_id",
-        enc["cluster"].alias("cluster"),
+        # non-nullable list id: the probe join's inferred
+        # IsNotNull(cluster) used to be pushed below this projection,
+        # duplicating the encode kernel over the full corpus (guide
+        # §4.4). -1 is unreachable (the kernel raises on NULL vectors).
+        F.coalesce(enc["cluster"], F.lit(-1)).alias("cluster"),
         *[enc[f"code{s}"].alias(f"code{s}") for s in (0, 1)],
     )
 
@@ -1893,8 +1931,22 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     # Observation (same discipline as nd's below): the count job over
     # the checkpoint is gone. Collected exactly once — downstream
     # consumers read the checkpoint, never the observed plan.
+    #
+    # r13 (guide §8 "decide with small rows"): the MinHash signature
+    # fold is computed INSIDE the q-checkpoint plan, and `text` is
+    # dropped from every funnel checkpoint. Downstream stages only ever
+    # needed text for (a) the signatures — now 4 longs-worth of md5
+    # columns riding the checkpoint — and (b) the split key, which
+    # equals the already-carried `ck`. The q/fin block-manager state
+    # and every post-q shuffle shrink from payload-sized (full
+    # documents) to ~60 bytes/row. The fold is the same
+    # minhash_signatures aggregate (one explode_outer + one groupBy
+    # that reuses the join's doc_id partitioning — no new Exchange);
+    # shingle-less docs keep NULL signatures and are excluded from the
+    # band relation exactly like the old inner-explode aggregate
+    # excluded them.
     q_obs = Observation()
-    q = (
+    q_rows = (
         base.observe(raw_obs, F.count(F.lit(1)).cast("bigint").alias("n_raw"))
         .join(ent, "doc_id")
         .join(rep, "doc_id")
@@ -1905,6 +1957,28 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
             & F.coalesce(F.col("avg_log2p") >= -4.95, F.lit(False))
         )
         .select("doc_id", "text", "ck", "ntok")
+    )
+    sh = q_rows.select(
+        "doc_id",
+        "ck",
+        "ntok",
+        F.explode_outer(dedup.shingles(F.col("text"))).alias("shingle"),
+    )
+    q = (
+        sh.groupBy("doc_id", "ck", "ntok")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("shingle").isNotNull(),
+                        F.md5(
+                            F.concat_ws("#", F.lit(str(i)), F.col("shingle"))
+                        ),
+                    )
+                ).alias(f"mh{i}")
+                for i in range(dedup.DEFAULT_NUM_HASHES)
+            ]
+        )
         .observe(q_obs, F.count(F.lit(1)).cast("bigint").alias("n_after_quality"))
         .localCheckpoint(eager=True)  # later stages re-read survivors, not the LM chain
     )
@@ -1915,7 +1989,7 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         .drop("__rn")
     )
     bands = dedup.signature_bands(
-        dedup.minhash_signatures(ex, "doc_id", "text"), "doc_id"
+        ex.where(F.col("mh0").isNotNull()), "doc_id"
     )
     drop = (
         bands.alias("a")
@@ -1943,9 +2017,13 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     # a pushdown barrier, so fin's filter/anti-join cannot slide below
     # the observe and shrink the observed count.
     nd_obs = Observation()
-    nd = ex.join(drop, "doc_id", "anti").observe(
-        nd_obs,
-        F.count(F.lit(1)).cast("bigint").alias("n_after_near_dedup"),
+    nd = (
+        ex.join(drop, "doc_id", "anti")
+        .select("doc_id", "ck", "ntok")  # signatures are spent (r13)
+        .observe(
+            nd_obs,
+            F.count(F.lit(1)).cast("bigint").alias("n_after_near_dedup"),
+        )
     )
     cont = decontam_ngram_overlap(spark, sf_dir).select("doc_id")
     # fin feeds five downstream aggregates (count, 3 split counts, token
@@ -1965,7 +2043,10 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint(eager=True)
     )
-    spl = curation.leakage_safe_split(fin, "doc_id", dedup.content_key(F.col("text")))
+    # the split key IS the already-carried content key (same md5 of the
+    # same normalized text) — recomputing content_key(text) forced text
+    # through fin's checkpoint for one equal value (r13, guide §8)
+    spl = curation.leakage_safe_split(fin, "doc_id", F.col("ck"))
     return docs, raw_obs, q, q_obs, ex, nd, nd_obs, fin, fin_obs, spl
 
 
@@ -2316,14 +2397,29 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the pair stage run on 2 threads. At 100 TB the input is
     # thousands of splits and this repartition is a no-op-sized tax.
     par = spark.sparkContext.defaultParallelism
-    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
-    n_emb = emb.count()
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    emb = emb_raw.repartition(par)
+    n_emb = emb_raw.count()
     kt = max(_KM_K, n_emb // _SEM_TARGET)
     k1 = max(_KM_K, int(math.floor(math.sqrt(float(kt)))))
     # n passed through: the coarse fit's seeding reuses the count above
     # instead of a second count job (cold local[1] fixed-cost trim,
     # r11 verdict item 4)
-    coarse = clustering.kmeans_fit(emb, k=k1, iters=_KM_ITERS, n=n_emb)
+    # r13: the coarse fit runs on the RAW relation, not the
+    # repartitioned one. Two effects, measured via the bench-alone cold
+    # path (11.3 s, of which the coarse fit was 3.75 s): (a) every
+    # Lloyd job drops the repartition shuffle it re-ran per iteration
+    # (the fit's own aggregate is k×dim rows — partition count is
+    # irrelevant to it); (b) the fit's memo key becomes IDENTICAL to
+    # the knn_ivf*/kmeans entries' fit over the same corpus (same
+    # relation, k, iters), so an in-run bench/driver pass pays this
+    # fit ONCE per process instead of re-fitting per entry. Seeding is
+    # vec_id-strided (partition-independent) and the centroid
+    # trajectory is the one the knn entries attest against the SAME
+    # _kmeans_cte oracle; semdedup's oracle parity re-checked at
+    # sf0.001/0.01/0.1. The repartitioned frame still feeds the
+    # flop-dense assign/pair stages below.
+    coarse = clustering.kmeans_fit(emb_raw, k=k1, iters=_KM_ITERS, n=n_emb)
     # the cell assignment feeds ~2·iters downstream jobs — materialize
     # once (at 100 TB: a persisted table, the corpus_bands discipline)
     cells = (
@@ -2593,9 +2689,11 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = clustering.assign_clusters(emb, coarse)
 
     def cent_for(col):
+        # literal arrays via one SQL parse per centroid — not dim py4j
+        # F.lit calls (see clustering._lit_vec_sql; r13 driver-side cost)
         expr = None
         for cid, cv in sorted(coarse.items()):
-            arr = F.array(*[F.lit(float(x)) for x in cv])
+            arr = clustering._lit_vec(cv)
             expr = (
                 F.when(col == cid, arr)
                 if expr is None
@@ -2870,29 +2968,60 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE can broadcast. At 100 TB the stats persist once; each new crawl
     scores map-side against the broadcast score table."""
     tune(spark)
-    from backend_etl_spark.operators.dedup import doc_shingles
+    from backend_etl_spark.operators.dedup import doc_shingles, shingles
 
     docs = load_table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
     tg = doc_shingles(docs, "doc_id", "text", n=3, distinct=False).select(
         "doc_id", F.col("shingle").alias("g")
     )
-    c3 = (
-        doc_shingles(train, "doc_id", "text", n=3, distinct=False)
-        .groupBy(F.col("shingle").alias("g"))
-        .agg(F.count(F.lit(1)).alias("c3"))
-    )
-    c2 = (
-        doc_shingles(train, "doc_id", "text", n=2, distinct=False)
-        .groupBy(F.col("shingle").alias("g"))
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
     from backend_etl_spark.functions.scalars import tokens
 
-    uni = train.select(F.explode(tokens(F.col("text"))).alias("w"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    nv = uni.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("w").alias("v")
+    # ONE tagged explode builds all three training count tables (r13,
+    # guide §2.3/§2.4): the previous shape ran a separate
+    # tokenize+explode+shuffle pass over the train corpus for trigrams,
+    # bigrams AND unigrams, and lazy recompute re-ran the bigram pass
+    # twice (g12/g23 joins), the unigram pass THREE times (c1b, c1c,
+    # nv) — 6 corpus explodes in the static plan. Now the (order, gram)
+    # occurrences ride a single explode into a single groupBy, the
+    # bounded result is localCheckpointed (Zipf-bounded: |distinct
+    # grams|, never corpus-sized), and every stats consumer reads those
+    # blocks instead of re-scanning. (N, V) derives from the unigram
+    # slice exactly: N = sum of unigram counts, V = row count.
+    # Null-safety: all three gram arrays derive from the same
+    # tokens(text) — they are null (and the doc contributes nothing)
+    # only together, exactly as the three separate explodes behaved.
+    def _tag(order: int, arr):
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(order).cast("int").alias("o"), g.alias("g")
+            ),
+        )
+
+    from backend_etl_spark.operators.partitioning import spread
+
+    tagged = spread(train.select("doc_id", "text"), "doc_id").select(
+        F.explode(
+            F.concat(
+                _tag(3, shingles(F.col("text"), 3)),
+                _tag(2, shingles(F.col("text"), 2)),
+                _tag(1, tokens(F.col("text"))),
+            )
+        ).alias("x")
+    ).select(F.col("x.o").alias("o"), F.col("x.g").alias("g"))
+    stats = (
+        tagged.groupBy("o", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    c3 = stats.where(F.col("o") == 3).select("g", F.col("c").alias("c3"))
+    c2 = stats.where(F.col("o") == 2).select("g", F.col("c").alias("c2"))
+    c1 = stats.where(F.col("o") == 1).select(
+        F.col("g").alias("w"), F.col("c").alias("c1")
+    )
+    nv = c1.agg(
+        F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")
     )
     gd = tg.select("g").distinct().select(
         "g",

@@ -33,11 +33,28 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda v: v.cast("double"))
 
 
+def _lit_vec_sql(values) -> str:
+    """SQL text for a literal ARRAY<DOUBLE>. ``repr(float)`` is the
+    shortest decimal that round-trips in IEEE-754; Spark's lexer parses
+    the ``D`` suffix with Java's Double.parseDouble, which lands on the
+    identical bit pattern — so the array VALUES are exactly F.lit's.
+    Built as ONE string/F.expr parse instead of dim py4j ``F.lit``
+    round-trips: a k=8, dim=64 centroid table was measured ~1 s of pure
+    DRIVER-side expression construction per Lloyd phase the old way
+    (r13, guide §1.2 — per-task work includes the driver's)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+
+
+def _lit_vec(values) -> Column:
+    """Literal ARRAY<DOUBLE> column — see _lit_vec_sql."""
+    return F.expr(_lit_vec_sql(values))
+
+
 def _dist2(v: Column, centroid: list[float]) -> Column:
     """Squared L2 distance to a literal centroid — ordered fold, exactly
     reproducible as list_reduce in the oracle. Single-centroid helper
     (residual/ADC paths); the k-way argmin uses _centroid_structs."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = _lit_vec(centroid)
     return F.aggregate(
         F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -52,15 +69,17 @@ def _centroid_structs(
     double array) to every literal centroid. ONE shared lambda over a
     literal array-of-structs rather than k unrolled distance
     expressions — ~40% less analysis/codegen time at identical
-    numerics (same zip_with fold order, same DIST_DP rounding)."""
-    carr = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-                F.lit(int(cid)).alias("cid"),
-            )
+    numerics (same zip_with fold order, same DIST_DP rounding). The
+    literal table is assembled as one SQL string (see _lit_vec_sql):
+    k×dim py4j F.lit calls were the dominant cost of building this
+    expression on the driver."""
+    carr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cv', {_lit_vec_sql(cv)}, 'cid', {int(cid)})"
             for cid, cv in sorted(centroids.items())
-        ]
+        )
+        + ")"
     )
     return F.transform(
         carr,
@@ -197,13 +216,25 @@ def assign_clusters(
     interpreted higher-order transform costs ~k·dim boxed ops per row
     and dominates wall-clock once k scales with corpus size.
     """
+    # cluster is wrapped non-nullable (coalesce with a literal the
+    # kernel can never emit): downstream entries equi-join on it, and
+    # the join's inferred IsNotNull(cluster) constraint used to be
+    # pushed BELOW this projection — duplicating the assignment kernel
+    # (two ArrowEvalPython nodes evaluating the same _assign over the
+    # full corpus, guide §4.4's filter-split pattern). A non-nullable
+    # key yields no IsNotNull constraint, so the kernel runs once.
+    # Values are unchanged: cid is never NULL on the kernel path (the
+    # kernel raises on NULL embeddings) and the fixture corpora carry
+    # none on the literal path.
     if len(centroids) >= NP_ASSIGN_MIN_K:
         best = _assign_np_udf(centroids)(_as_double(F.col(emb_col)))
-        return df.withColumn("cluster", best["cid"]).withColumn(
-            "dist2", best["d"]
-        )
+        return df.withColumn(
+            "cluster", F.coalesce(best["cid"], F.lit(-1))
+        ).withColumn("dist2", best["d"])
     best = nearest_centroid(F.col(emb_col), centroids)
-    return df.withColumn("cluster", best["cid"]).withColumn("dist2", best["d"])
+    return df.withColumn(
+        "cluster", F.coalesce(best["cid"], F.lit(-1))
+    ).withColumn("dist2", best["d"])
 
 
 def assign_clusters_multi(
@@ -234,7 +265,11 @@ def assign_clusters_multi(
             tag, _as_double(F.col(emb_col))
         )["cid"]
         cid = kern if cid is None else cid.otherwise(kern)
-    return df.withColumn(out_col, cid)
+    # non-nullable for the same reason as assign_clusters: the fine
+    # cluster id becomes an equi-join key (SemDeDup pair stage) and a
+    # nullable key's inferred IsNotNull is pushed below the projection,
+    # duplicating the kernel. -1 is unreachable (cids are >= 0).
+    return df.withColumn(out_col, F.coalesce(cid, F.lit(-1)))
 
 
 def seed_centroids(
