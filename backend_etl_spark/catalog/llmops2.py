@@ -2570,25 +2570,29 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    o = t.where(F.col("doc_id") % 10 < 8).groupBy("w").agg(
-        F.count(F.lit(1)).alias("co")
-    )
-    n = t.where(F.col("doc_id") % 10 >= 8).groupBy("w").agg(
-        F.count(F.lit(1)).alias("cn")
-    )
-    v = t.agg(F.count_distinct("w").alias("vocab"))
-    ot = o.agg(F.sum("co").alias("ot"))
-    nt = n.agg(F.sum("cn").alias("nt"))
-    joint = (
-        o.join(n, "w", "full")
-        .select(
-            F.coalesce(F.col("co"), F.lit(0)).alias("co"),
-            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+    # ONE corpus explode + ONE groupBy(w) with conditional counts (r13,
+    # guide §2.3/§2.4): the previous shape ran the explode FIVE times
+    # (o, n, and v each re-derived it, ot/nt lazily recomputed o/n) and
+    # full-outer-joined the two unigram tables. Per-token old/new
+    # membership is a row-local predicate, so the joint table IS one
+    # conditional aggregate: co/cn per distinct token (0 where absent —
+    # exactly the outer join's coalesce), vocab = the group count
+    # (every token occurrence is old or new, so groups cover the
+    # vocabulary), ot/nt = column sums over the bounded stats table.
+    counts = (
+        t.groupBy("w")
+        .agg(
+            F.count(F.when(F.col("doc_id") % 10 < 8, 1)).alias("co"),
+            F.count(F.when(F.col("doc_id") % 10 >= 8, 1)).alias("cn"),
         )
-        .crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(ot))
-        .crossJoin(F.broadcast(nt))
+        .localCheckpoint(eager=True)  # Zipf-bounded; 3 consumers below
     )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("co").alias("ot"),
+        F.sum("cn").alias("nt"),
+    )
+    joint = counts.select("co", "cn").crossJoin(F.broadcast(totals))
     p = (F.col("cn") + 1) / (F.col("nt") + F.col("vocab")).cast("double")
     q = (F.col("co") + 1) / (F.col("ot") + F.col("vocab")).cast("double")
     return (
