@@ -735,7 +735,9 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored GROUP BY doc_id)
     """,
 )
-def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_bigram_logprob(
+    spark: SparkSession, sf_dir: str, checkpoint_stats: bool = True
+) -> DataFrame:
     """Corpus bigram-LM quality filter (the KenLM-perplexity shape used
     by CCNet/RedPajama, self-trained here): per-doc mean log2 P(w2|w1)
     under Laplace smoothing, and its perplexity.
@@ -785,11 +787,20 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select(F.col("x.o").alias("o"), F.col("x.g").alias("g"))
-    stats = (
-        tagged.groupBy("o", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    # ``checkpoint_stats=False`` (r14): when this LM is COMPOSED inside
+    # a larger plan (corpus_pipeline_funnel), the eager checkpoint here
+    # is a sequential materialization BARRIER executed during plan
+    # construction — the corpus stats pass can no longer overlap the
+    # entropy/repetition passes, and the driver's r13 bench measured
+    # the funnel 24% slower with it in the composition (scaling ratio
+    # 0.86: barrier-bound). Lazy, the stats consumers (bc and vocab)
+    # read the same canonical groupBy subtree and Spark's exchange
+    # reuse materializes it once inside the consuming job. Solo, the
+    # checkpoint stays: the entry's own A/B (r13) measured it 1.41×
+    # ahead there.
+    stats = tagged.groupBy("o", "g").agg(F.count(F.lit(1)).alias("c"))
+    if checkpoint_stats:
+        stats = stats.localCheckpoint(eager=True)
     bc = stats.where(F.col("o") == 2).select(
         F.col("g").alias("bigram"), "c"
     )
@@ -1906,7 +1917,15 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     ent = quality_char_entropy(spark, sf_dir).select("doc_id", "char_entropy_bits")
     rep = textops.repetition_metrics(docs).select("doc_id", "keep")
-    lm = quality_bigram_logprob(spark, sf_dir).select("doc_id", "avg_log2p")
+    # checkpoint_stats=False (r14): the LM's eager stats checkpoint is a
+    # barrier executed while BUILDING this plan — composed here it
+    # serialized the corpus stats pass ahead of everything else and was
+    # the r13 funnel regression (driver: 6.25 → 7.76 s, scaling 0.86).
+    # Lazy, the stats subtree rides the q-checkpoint job and its two
+    # consumers share one exchange.
+    lm = quality_bigram_logprob(
+        spark, sf_dir, checkpoint_stats=False
+    ).select("doc_id", "avg_log2p")
     base = docs.select(
         "doc_id",
         "text",
@@ -1945,6 +1964,17 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     # shingle-less docs keep NULL signatures and are excluded from the
     # band relation exactly like the old inner-explode aggregate
     # excluded them.
+    #
+    # r14 note: a lazy join-back variant (q without the fold; band
+    # stage re-attaching text from the documents scan) was built,
+    # oracle-verified ×3 SFs, and A/B-measured — NOT better (single-
+    # shot medians 11.0 s fold-in-barrier vs 17.2 s join-back on the
+    # r14 box; the join adds two exchanges + an AQE stage boundary and
+    # risks re-running the fold under both band-join sides, while the
+    # in-barrier fold rides the quality join's existing doc_id
+    # partitioning). The driver-measured r13 funnel regression traces
+    # to the LM stats checkpoint barrier instead — see the lm relation
+    # above.
     q_obs = Observation()
     q_rows = (
         base.observe(raw_obs, F.count(F.lit(1)).cast("bigint").alias("n_raw"))
@@ -2060,7 +2090,16 @@ def corpus_funnel_observed(
     corpus_pipeline_funnel pays is gone; the docstring's promised
     alternative, proven by tests/test_llmops2.py comparing both count
     vectors). Re-running against the same ``root`` appends nothing and
-    returns all-zero stage counts — effectively-once under redelivery."""
+    returns all-zero stage counts — effectively-once under redelivery.
+
+    SINK SCHEMA NOTE (r13 change, flagged by r13 ADVICE): the persisted
+    stage tables no longer carry ``text`` — quality/exact rows are
+    (doc_id, ck, ntok, mh0..mh3) and neardup/final rows are
+    (doc_id, ck, ntok). A consumer reading stage payloads, or an
+    idempotent append into a ``root`` first written by a pre-r13 run,
+    must treat pre- and post-r13 roots as different schema versions
+    (point new runs at a fresh root; the natural-key dedup would
+    otherwise merge rows of different widths)."""
     import os
 
     from pyspark.sql import Observation
@@ -2420,13 +2459,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.001/0.01/0.1. The repartitioned frame still feeds the
     # flop-dense assign/pair stages below.
     coarse = clustering.kmeans_fit(emb_raw, k=k1, iters=_KM_ITERS, n=n_emb)
-    # the cell assignment feeds ~2·iters downstream jobs — materialize
-    # once (at 100 TB: a persisted table, the corpus_bands discipline)
-    cells = (
-        clustering.assign_clusters(emb, coarse)
-        .select("vec_id", "embedding", F.col("cluster").alias("cell"))
-        .localCheckpoint(eager=True)
-    )
+    # r14: with the fused fine fit the cell assignment feeds exactly
+    # TWO jobs (the one-shot grouped fit and the final query) instead
+    # of ~2·iters — the eager checkpoint's materialization barrier
+    # (~1.5-2.4 s at sf0.1) now costs more than recomputing the
+    # map-only Arrow assign kernel once per consumer, so the relation
+    # stays lazy. (At 100 TB the assignment persists as a table — the
+    # corpus_bands discipline — which is a sink choice, not an extra
+    # barrier inside the query.)
+    cells = clustering.assign_clusters(emb, coarse).select(
+        "vec_id", "embedding", F.col("cluster").alias("cell")
+    ).localCheckpoint(eager=False)
     fine = clustering.kmeans_fit_grouped(
         cells,
         "cell",
@@ -2437,10 +2480,14 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # under the upstream relation + derivation tag instead
         memo_df=emb,
         memo_tag=f"sem_fine_k1={k1}",
-        # fused counts+seeds: one window job instead of two (r12)
-        k_for_count_col=lambda cn: F.greatest(
-            F.floor(cn / _SEM_TARGET), F.lit(1)
-        ),
+        # r14: ALL fine-fit Lloyd rounds run per-cell inside ONE
+        # grouped-map job (was: fused seed window + iters-1 sequential
+        # lock-step jobs — ~0.7-1 s of driver fixed cost EACH at sf0.1,
+        # the orchestration that pinned this entry's 8→32-core scaling
+        # at 1.0). Per-cell trajectory parity with the distributed
+        # phases is pinned by tests/test_r14_fused_fit.py and the
+        # oracle replays the identical fit in SQL.
+        fused=True,
     )
     e2 = clustering.assign_clusters_multi(
         cells, fine, tag_col="cell", out_col="fid"

@@ -41,8 +41,23 @@ def _lit_vec_sql(values) -> str:
     Built as ONE string/F.expr parse instead of dim py4j ``F.lit``
     round-trips: a k=8, dim=64 centroid table was measured ~1 s of pure
     DRIVER-side expression construction per Lloyd phase the old way
-    (r13, guide §1.2 — per-task work includes the driver's)."""
-    return "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+    (r13, guide §1.2 — per-task work includes the driver's).
+
+    Non-finite components (degenerate input data) render as explicit
+    CAST literals — ``repr`` would produce ``infD``/``nanD``, which the
+    SQL lexer rejects (r13 ADVICE; the old F.lit path accepted them)."""
+
+    def _fmt(x) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{x!r}D"
+
+    return "array(" + ",".join(_fmt(x) for x in values) + ")"
 
 
 def _lit_vec(values) -> Column:
@@ -231,6 +246,13 @@ def assign_clusters(
         return df.withColumn(
             "cluster", F.coalesce(best["cid"], F.lit(-1))
         ).withColumn("dist2", best["d"])
+    # literal path: nothing raises on a NULL embedding (unlike the numpy
+    # kernel), so a NULL row would coalesce into the shared -1 cluster
+    # and silently join with every other NULL row downstream (r13 ADVICE
+    # medium). Filtering NULL embeddings first makes -1 provably
+    # unreachable on this path too — and matches the exclusion the old
+    # NULL-key equi-join semantics gave those rows.
+    df = df.where(F.col(emb_col).isNotNull())
     best = nearest_centroid(F.col(emb_col), centroids)
     return df.withColumn(
         "cluster", F.coalesce(best["cid"], F.lit(-1))
@@ -268,7 +290,12 @@ def assign_clusters_multi(
     # non-nullable for the same reason as assign_clusters: the fine
     # cluster id becomes an equi-join key (SemDeDup pair stage) and a
     # nullable key's inferred IsNotNull is pushed below the projection,
-    # duplicating the kernel. -1 is unreachable (cids are >= 0).
+    # duplicating the kernel. -1 is unreachable: the numpy kernel raises
+    # on NULL embeddings, and when any literal-path tag is present NULL
+    # rows are filtered here first (r13 ADVICE medium — the literal
+    # argmin would otherwise map them all onto a shared -1 cluster).
+    if lit_tags:
+        df = df.where(F.col(emb_col).isNotNull())
     return df.withColumn(out_col, F.coalesce(cid, F.lit(-1)))
 
 
@@ -473,6 +500,79 @@ def kmeans_fit_multi(
     return {t: {cid: list(v) for cid, v in cents[t].items()} for t in tags}
 
 
+def _round_like_spark(x: float, dp: int = CENT_DP) -> float:
+    """Exact emulation of Spark's ``F.round(double, dp)``: HALF_UP on
+    the shortest round-trip decimal representation (Spark rounds
+    ``BigDecimal.valueOf(x)`` — Double.toString's shortest-repr decimal
+    — with HALF_UP; Python's ``repr(float)`` is the same shortest
+    correctly-rounded decimal)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _fused_cell_fit(k_for_count, iters: int):
+    """Per-cell Lloyd's as a grouped-map kernel: ALL rounds of one
+    cell's fine fit run locally inside a single task — the whole
+    grouped fit is ONE Spark job instead of seed-window + (iters-1)
+    lock-step jobs (r14: the sequential phase jobs were pure driver
+    fixed cost at ~0.7-1 s each and pinned semdedup's 8→32-core
+    scaling at 1.0).
+
+    Numerics per cell: seeds follow the rank_mod strided rule
+    (vec_id-sorted, rank % stride == 0, first k); assignment is the
+    exact _assign_np_udf fold (sequential dim accumulation,
+    floor(d·1e6+0.5)/1e6 rounding, first-minimum tie-break); updates
+    are the member mean rounded with _round_like_spark — the same
+    HALF_UP-on-shortest-decimal semantics as the distributed
+    F.round(F.avg(...)) update. Summation order (numpy pairwise over
+    vec_id-sorted members vs Spark's partition-ordered partial
+    aggregates) differs below the 6-dp rounding, the same
+    attested-stable class as the DuckDB oracle parity
+    (tests/test_r14_fused_fit.py pins fused == distributed)."""
+
+    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        tag = int(pdf["_tag"].iloc[0])
+        pdf = pdf.sort_values("_id")
+        X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        cn = len(pdf)
+        k = int(k_for_count(cn))
+        stride = max(cn // k, 1)
+        seed_idx = list(range(0, cn, stride))[:k]
+        cents: dict[int, np.ndarray] = {
+            i: X[seed_idx[i]] for i in range(len(seed_idx))
+        }
+        for _ in range(iters - 1):
+            cids = np.array(sorted(cents), dtype=np.int64)
+            C = np.array([cents[c] for c in sorted(cents)], dtype=np.float64)
+            D = np.zeros((cn, C.shape[0]))
+            for j in range(X.shape[1]):
+                diff = X[:, j, None] - C[None, :, j]
+                D += diff * diff
+            D = np.floor(D * 1e6 + 0.5) / 1e6
+            idx = D.argmin(axis=1)
+            new_cents: dict[int, np.ndarray] = {}
+            for ci, c in enumerate(cids):
+                mask = idx == ci
+                if not mask.any():
+                    continue  # emptied cluster drops out (Lloyd degeneracy)
+                m = X[mask].mean(axis=0)
+                new_cents[int(c)] = np.array(
+                    [_round_like_spark(v) for v in m]
+                )
+            cents = new_cents
+        return pd.DataFrame(
+            {
+                "_tag": [tag] * len(cents),
+                "fid": [int(c) for c in sorted(cents)],
+                "cv": [list(map(float, cents[c])) for c in sorted(cents)],
+            }
+        )
+
+    return fit_cell
+
+
 def kmeans_fit_grouped(
     df: DataFrame,
     tag_col: str,
@@ -483,6 +583,7 @@ def kmeans_fit_grouped(
     memo_df: DataFrame | None = None,
     memo_tag: str | None = None,
     k_for_count_col=None,
+    fused: bool = False,
 ) -> dict[int, dict[int, list[float]]]:
     """Lock-step Lloyd's over the GROUPS of one pre-tagged relation —
     the second level of a two-level (coarse → per-cell fine) fit. Same
@@ -527,7 +628,23 @@ def kmeans_fit_grouped(
         F.col(id_col).alias("_id"),
         _as_double(F.col(emb_col)).alias("_v"),
     )
-    if k_for_count_col is not None:
+    if fused:
+        # ONE grouped-map job computes every cell's full trajectory
+        # (see _fused_cell_fit); rows-per-group is bounded by the
+        # caller's cell sizing (the coarse fit's ~√k_total cells), so
+        # a task holds one cell's vectors, never the corpus.
+        rows = tagged.groupBy("_tag").applyInPandas(
+            _fused_cell_fit(k_for_count, iters),
+            schema="_tag int, fid int, cv array<double>",
+        ).collect()
+        if not rows:
+            raise ValueError("kmeans_fit_grouped: empty input relation")
+        cents = {}
+        for r in rows:
+            cents.setdefault(r["_tag"], {})[r["fid"]] = [
+                float(x) for x in r["cv"]
+            ]
+    elif k_for_count_col is not None:
         from pyspark.sql.window import Window
 
         wa = Window.partitionBy("_tag")

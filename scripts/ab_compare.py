@@ -42,6 +42,10 @@ def main() -> None:
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     after_fns = {n: REGISTRY[n].fn for n in names}
+    # snapshot EVERY QuerySpec the before-modules may overwrite (r13
+    # ADVICE: restoring only .fn left the ref version's oracle/doc
+    # strings live in REGISTRY for the rest of the process)
+    full_snapshot = dict(REGISTRY)
 
     # load the before-version of each changed module; decorators
     # overwrite REGISTRY in place
@@ -59,8 +63,10 @@ def main() -> None:
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
     before_fns = {n: REGISTRY[n].fn for n in names}
-    for n, fn in after_fns.items():  # restore
-        REGISTRY[n].fn = fn
+    # restore the full after-state (whole QuerySpec objects, every
+    # entry the ref modules re-registered — not just names' .fn)
+    REGISTRY.clear()
+    REGISTRY.update(full_snapshot)
 
     changed = [n for n in names if before_fns[n] is not after_fns[n]]
     if set(changed) != set(names):

@@ -27,7 +27,9 @@ verdict item 6). Row counts, schemas, and every other column are
 BIT-identical to the uniform build — the Zipf draw comes from a
 spawned child generator while the main stream still consumes the
 uniform draw it replaces (r12 ADVICE: the old in-stream rng.choice
-shifted every subsequently generated column) — so salted-vs-unsalted
+shifted every subsequently generated column; the claim is verified
+column-for-column at sf0.001 in r14 — only the two skewed key columns
+differ between builds) — so salted-vs-unsalted
 timings are apples-to-apples; the default outdir gains a ``_skew``
 suffix so a skewed build can never shadow the canonical uniform one.
 
