@@ -736,7 +736,7 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_bigram_logprob(
-    spark: SparkSession, sf_dir: str, checkpoint_stats: bool = True
+    spark: SparkSession, sf_dir: str, checkpoint_stats: bool | str = True
 ) -> DataFrame:
     """Corpus bigram-LM quality filter (the KenLM-perplexity shape used
     by CCNet/RedPajama, self-trained here): per-doc mean log2 P(w2|w1)
@@ -787,19 +787,27 @@ def quality_bigram_logprob(
             )
         ).alias("x")
     ).select(F.col("x.o").alias("o"), F.col("x.g").alias("g"))
-    # ``checkpoint_stats=False`` (r14): when this LM is COMPOSED inside
-    # a larger plan (corpus_pipeline_funnel), the eager checkpoint here
-    # is a sequential materialization BARRIER executed during plan
-    # construction — the corpus stats pass can no longer overlap the
-    # entropy/repetition passes, and the driver's r13 bench measured
-    # the funnel 24% slower with it in the composition (scaling ratio
-    # 0.86: barrier-bound). Lazy, the stats consumers (bc and vocab)
-    # read the same canonical groupBy subtree and Spark's exchange
-    # reuse materializes it once inside the consuming job. Solo, the
-    # checkpoint stays: the entry's own A/B (r13) measured it 1.41×
-    # ahead there.
+    # ``checkpoint_stats`` (r14): the Zipf-bounded stats relation has
+    # THREE consumers (bc twice — the lp join and ctx — plus vocab).
+    # - True (solo-entry default): EAGER localCheckpoint — the r13 A/B
+    #   measured it 1.41× ahead for the standalone entry.
+    # - "lazy": non-eager localCheckpoint — used when this LM is
+    #   COMPOSED inside a larger plan (corpus_pipeline_funnel). An
+    #   eager checkpoint there is a materialization BARRIER executed
+    #   during plan CONSTRUCTION (the corpus stats pass can no longer
+    #   overlap the entropy/repetition passes — the r13 funnel
+    #   regression); non-eager materializes inside the consuming job's
+    #   own shared stage and the other consumers read the blocks.
+    # - False: no checkpoint at all — measured 2.3× WORSE at sf10
+    #   (bench_full_sf10_degraded.json r14: the funnel's solo retime
+    #   116.6 s vs the r12 record's 50.5 s): the three consumers print
+    #   three copies of the stats subtree and exchange reuse does NOT
+    #   collapse them, so the corpus pass runs three times. Kept only
+    #   as the measured-and-rejected reference point.
     stats = tagged.groupBy("o", "g").agg(F.count(F.lit(1)).alias("c"))
-    if checkpoint_stats:
+    if checkpoint_stats == "lazy":
+        stats = stats.localCheckpoint(eager=False)
+    elif checkpoint_stats:
         stats = stats.localCheckpoint(eager=True)
     bc = stats.where(F.col("o") == 2).select(
         F.col("g").alias("bigram"), "c"
@@ -1917,14 +1925,17 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     ent = quality_char_entropy(spark, sf_dir).select("doc_id", "char_entropy_bits")
     rep = textops.repetition_metrics(docs).select("doc_id", "keep")
-    # checkpoint_stats=False (r14): the LM's eager stats checkpoint is a
-    # barrier executed while BUILDING this plan — composed here it
+    # checkpoint_stats="lazy" (r14): the LM's EAGER stats checkpoint is
+    # a barrier executed while BUILDING this plan — composed here it
     # serialized the corpus stats pass ahead of everything else and was
     # the r13 funnel regression (driver: 6.25 → 7.76 s, scaling 0.86).
-    # Lazy, the stats subtree rides the q-checkpoint job and its two
-    # consumers share one exchange.
+    # Non-eager, the stats materialize inside the q-checkpoint job's
+    # own stage (no separate barrier) and the LM's three stats
+    # consumers read the blocks — still ONE corpus pass (the fully
+    # lazy variant re-ran that pass three times: measured 2.3× worse
+    # at sf10, see quality_bigram_logprob).
     lm = quality_bigram_logprob(
-        spark, sf_dir, checkpoint_stats=False
+        spark, sf_dir, checkpoint_stats="lazy"
     ).select("doc_id", "avg_log2p")
     base = docs.select(
         "doc_id",
